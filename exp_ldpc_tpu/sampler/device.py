@@ -1,0 +1,173 @@
+"""JAX/TPU Pauli-frame sampler.
+
+TPU-native replacement for Stim's batch sampler (consumed by the reference at
+``/root/reference/python/qldpc/misc/_experiment.py:193-197``), sharing exact
+semantics with the CPU oracle in :mod:`exp_ldpc_tpu.sampler.reference` (see
+that module's docstring for the frame algebra).
+
+Design for the hardware/XLA:
+  * the shot axis is the vector axis: frames are (Q, S) uint8 bit planes, so
+    every gate layer is a row gather + XOR + row scatter over lanes, and the
+    whole circuit jits into one fused program;
+  * the structural REPEAT block from :class:`ParsedCircuit` lowers to
+    ``lax.scan`` — compile time is independent of the round count and XLA
+    double-buffers the measurement-record writes (``spacetime_code``'s rounds
+    axis, SURVEY.md §5 long-context note);
+  * noise channels draw from ``jax.random`` with per-op fold_in keys, so the
+    sampler is deterministic given (key, circuit);
+  * detector/observable evaluation is a single (S, M) x (M, D) matmul on the
+    record, done in f32 on the MXU and reduced mod 2.
+
+The record layout matches the reference contract (rounds of
+[x_checks..., z_checks...] then data readout, ``storage_sim.py:187-196``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuits.ir import ParsedCircuit, parse_circuit
+
+__all__ = ["DeviceSampler"]
+
+
+def _apply_op(op_name, arg, targets, fx, fz, key):
+    """Apply one compiled op to frame planes (Q, S); returns (fx, fz, record_or_None)."""
+    S = fx.shape[1]
+    t = targets
+    rec = None
+    if op_name in ("RZ", "RX", "MZ", "MX", "MRZ", "MRX"):
+        rnd = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (t.size, S)).astype(jnp.uint8)
+    if op_name == "RZ":
+        fx = fx.at[t].set(0)
+        fz = fz.at[t].set(rnd)
+    elif op_name == "RX":
+        fz = fz.at[t].set(0)
+        fx = fx.at[t].set(rnd)
+    elif op_name in ("MZ", "MRZ", "MX", "MRX"):
+        plane = fx if op_name in ("MZ", "MRZ") else fz
+        out = plane[t]
+        if arg:
+            flips = jax.random.bernoulli(jax.random.fold_in(key, 2), arg, (t.size, S))
+            out = out ^ flips.astype(jnp.uint8)
+        rec = out
+        if op_name == "MRZ":
+            fx = fx.at[t].set(0)
+        elif op_name == "MRX":
+            fz = fz.at[t].set(0)
+        if op_name in ("MZ", "MRZ"):
+            fz = fz.at[t].set(rnd)
+        else:
+            fx = fx.at[t].set(rnd)
+    elif op_name == "CX":
+        ctrl, tgt = t[0::2], t[1::2]
+        fx = fx.at[tgt].set(fx[tgt] ^ fx[ctrl])
+        fz = fz.at[ctrl].set(fz[ctrl] ^ fz[tgt])
+    elif op_name == "CZ":
+        a, b = t[0::2], t[1::2]
+        za = fz[a] ^ fx[b]
+        zb = fz[b] ^ fx[a]
+        fz = fz.at[a].set(za)
+        fz = fz.at[b].set(zb)
+    elif op_name == "DEPOLARIZE1":
+        kk = jax.random.fold_in(key, 3)
+        e = jax.random.bernoulli(kk, arg, (t.size, S)).astype(jnp.uint8)
+        k = jax.random.randint(jax.random.fold_in(kk, 1), (t.size, S), 1, 4, dtype=jnp.uint8)
+        fx = fx.at[t].set(fx[t] ^ (e & (k & 1)))
+        fz = fz.at[t].set(fz[t] ^ (e & ((k >> 1) & 1)))
+    elif op_name == "DEPOLARIZE2":
+        a, b = t[0::2], t[1::2]
+        kk = jax.random.fold_in(key, 4)
+        e = jax.random.bernoulli(kk, arg, (a.size, S)).astype(jnp.uint8)
+        k = jax.random.randint(jax.random.fold_in(kk, 1), (a.size, S), 1, 16, dtype=jnp.uint8)
+        fx = fx.at[a].set(fx[a] ^ (e & (k & 1)))
+        fz = fz.at[a].set(fz[a] ^ (e & ((k >> 1) & 1)))
+        fx = fx.at[b].set(fx[b] ^ (e & ((k >> 2) & 1)))
+        fz = fz.at[b].set(fz[b] ^ (e & ((k >> 3) & 1)))
+    elif op_name == "X_ERROR":
+        e = jax.random.bernoulli(jax.random.fold_in(key, 5), arg, (t.size, S)).astype(jnp.uint8)
+        fx = fx.at[t].set(fx[t] ^ e)
+    elif op_name == "Z_ERROR":
+        e = jax.random.bernoulli(jax.random.fold_in(key, 6), arg, (t.size, S)).astype(jnp.uint8)
+        fz = fz.at[t].set(fz[t] ^ e)
+    elif op_name == "Y_ERROR":
+        e = jax.random.bernoulli(jax.random.fold_in(key, 7), arg, (t.size, S)).astype(jnp.uint8)
+        fx = fx.at[t].set(fx[t] ^ e)
+        fz = fz.at[t].set(fz[t] ^ e)
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported op {op_name}")
+    return fx, fz, rec
+
+
+def _run_block(ops, fx, fz, record, key, rec_base):
+    """Apply a compiled op block; record writes land at rec_base + op.meas_offset."""
+    for i, op in enumerate(ops):
+        op_key = jax.random.fold_in(key, i)
+        fx, fz, rec = _apply_op(op.name, op.arg, op.targets, fx, fz, op_key)
+        if rec is not None:
+            record = jax.lax.dynamic_update_slice(
+                record, rec, (rec_base + op.meas_offset, jnp.int32(0))
+            )
+    return fx, fz, record
+
+
+class DeviceSampler:
+    """jit-compiled batch sampler for a fixed circuit and shot count."""
+
+    def __init__(self, circuit, shots: int):
+        if not isinstance(circuit, ParsedCircuit):
+            circuit = parse_circuit(circuit)
+        self.circuit = circuit
+        self.shots = int(shots)
+        c = circuit
+        self._det = jnp.asarray(c.detector_matrix().toarray().T, dtype=jnp.float32)
+        self._obs = jnp.asarray(c.observable_matrix().toarray().T, dtype=jnp.float32)
+        self._sample = jax.jit(self._build())
+
+    def _build(self):
+        c = self.circuit
+        S = self.shots
+        Q = c.num_qubits
+        M = c.num_measurements
+
+        def sample(key):
+            fx = jnp.zeros((Q, S), dtype=jnp.uint8)
+            fz = jnp.zeros((Q, S), dtype=jnp.uint8)
+            record = jnp.zeros((M, S), dtype=jnp.uint8)
+
+            k_pro, k_body, k_epi = jax.random.split(key, 3)
+            fx, fz, record = _run_block(c.prologue, fx, fz, record, k_pro, 0)
+
+            if c.repeat_count > 0 and c.body:
+                def body_fn(carry, it):
+                    fx, fz, record = carry
+                    kb = jax.random.fold_in(k_body, it)
+                    base = c.prologue_measurements + it * c.body_measurements
+                    fx, fz, record = _run_block(c.body, fx, fz, record, kb, base)
+                    return (fx, fz, record), None
+
+                (fx, fz, record), _ = jax.lax.scan(
+                    body_fn, (fx, fz, record), jnp.arange(c.repeat_count)
+                )
+
+            epi_base = c.prologue_measurements + c.repeat_count * c.body_measurements
+            fx, fz, record = _run_block(c.epilogue, fx, fz, record, k_epi, epi_base)
+            return record.T  # (S, M)
+
+        return sample
+
+    def sample(self, key) -> jnp.ndarray:
+        """uint8 (shots, num_measurements) measurement record."""
+        return self._sample(key)
+
+    def sample_detectors(self, key, append_observables: bool = False) -> jnp.ndarray:
+        record = self._sample(key).astype(jnp.float32)
+        det = jnp.mod(record @ self._det, 2.0).astype(jnp.uint8)
+        if append_observables:
+            obs = jnp.mod(record @ self._obs, 2.0).astype(jnp.uint8)
+            det = jnp.concatenate([det, obs], axis=1)
+        return det
