@@ -1,0 +1,294 @@
+"""Decode-mode drivers and the end-to-end Monte-Carlo simulation.
+
+Behavioral parity with ``/root/reference/python/qldpc/misc/_experiment.py``
+(the four decode modes and ``run_simulation``), re-designed batch-first: the
+reference decodes shot-by-shot in a Python loop (``:199-209``); here the
+sampler produces the whole record batch on device, syndromes for ALL shots
+decode in one BP call, and the logical-failure reduction is vectorized.
+
+Priors follow the reference exactly: data columns get ``data_prior``,
+measurement-error columns ``meas_prior`` (``:33-35,74-76,106-108``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..circuits.storage_sim import build_storage_simulation
+from ..core import QuantumCode
+from .bp import BPDecoder
+from .bposd import BPOSDDecoder
+from .dem import detector_error_model
+from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
+
+__all__ = [
+    "BPOSDCorrect",
+    "BPOSDCorrectSingleShot",
+    "BPOSDHybridCorrect",
+    "BPDetectorCorrect",
+    "run_simulation",
+    "add_bposd_args",
+    "unpack_bposd_args",
+    "load_code",
+]
+
+
+def _spacetime_prior(spacetime, data_prior: float, meas_prior: float) -> np.ndarray:
+    prior = np.zeros(spacetime.spacetime_check_matrix.shape[1])
+    prior[: spacetime._datablock_size] = data_prior
+    prior[spacetime._datablock_size:] = meas_prior
+    return prior
+
+
+@dataclass
+class BPOSDCorrect:
+    """BP+OSD on the full spacetime matrix (reference ``:62-83``)."""
+
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        data_prior, meas_prior = priors
+        self._checks = code.checks.z
+        self._spacetime_code = SpacetimeCode(self._checks, rounds)
+        self._bpd = BPOSDDecoder.from_check_matrix(
+            self._spacetime_code.spacetime_check_matrix,
+            channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
+            **bp_osd_options,
+        )
+
+    def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
+        """history (S, rounds, r), readout (S, n) -> final-round correction (S, n)."""
+        syndromes = self._spacetime_code.syndrome_from_history_batch(history, readout)
+        correction = self._bpd.decode_batch(syndromes)
+        return self._spacetime_code.final_correction(correction)
+
+
+@dataclass
+class BPOSDCorrectSingleShot:
+    """Per-round iterative (H|I) decode with accumulated correction, then a
+    clean final-round decode (reference ``:12-60``) — rounds loop on host,
+    shots batched inside each step."""
+
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        data_prior, meas_prior = priors
+        self._rounds = rounds
+        self._checks = code.checks.z
+        self._spacetime_code = SpacetimeCodeSingleShot(self._checks)
+        self._bpd_single_shot = BPOSDDecoder.from_check_matrix(
+            self._spacetime_code.spacetime_check_matrix,
+            channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
+            **bp_osd_options,
+        )
+        self._bpd_final_round = BPOSDDecoder.from_check_matrix(
+            self._checks, error_rate=data_prior, **bp_osd_options
+        )
+
+    def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
+        S = readout.shape[0]
+        Hd = self._checks.toarray()
+        acc = np.zeros_like(readout, dtype=np.int64)
+        for t in range(self._rounds):
+            corr_syndrome = (acc @ Hd.T) % 2
+            syndrome = (corr_syndrome + history[:, t]) % 2
+            st_correction = self._bpd_single_shot.decode_batch(syndrome)
+            acc = (acc + self._spacetime_code.final_correction(st_correction)) % 2
+        readout = (acc + readout) % 2
+        syndrome = (readout @ Hd.T) % 2
+        final = self._bpd_final_round.decode_batch(syndrome)
+        return (final + acc) % 2
+
+
+@dataclass
+class BPOSDHybridCorrect:
+    """Plain BP on the spacetime matrix + BP+OSD on the final round
+    (reference ``:85-126``)."""
+
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        data_prior, meas_prior = priors
+        self._rounds = rounds
+        self._checks = code.checks.z
+        self._spacetime_code = SpacetimeCode(self._checks, rounds)
+        bp_options = {
+            k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")
+        }
+        self._bpd = BPDecoder.from_check_matrix(
+            self._spacetime_code.spacetime_check_matrix,
+            channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
+            **bp_options,
+        )
+        self._bpd_final_round = BPOSDDecoder.from_check_matrix(
+            self._checks, error_rate=data_prior, **bp_osd_options
+        )
+
+    def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
+        syndromes = self._spacetime_code.syndrome_from_history_batch(history, readout)
+        correction, _post, _conv, _it = self._bpd.decode_batch(syndromes)
+        bp_corr = self._spacetime_code.final_correction(np.asarray(correction))
+        readout = (bp_corr + readout) % 2
+        syndrome = (readout @ self._checks.T.toarray()) % 2
+        final = self._bpd_final_round.decode_batch(syndrome)
+        return (final + bp_corr) % 2
+
+
+@dataclass
+class BPDetectorCorrect:
+    """BP on the detector-error-model fault matrix (reference ``:128-151``,
+    with the fault/detector indexing bug SURVEY.md §2.5.1 fixed)."""
+
+    def __init__(self, dem, bp_osd_options: Dict):
+        self._dsc = DetectorSpacetimeCode(dem)
+        bp_options = {k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")}
+        self._bpd = BPDecoder.from_check_matrix(
+            self._dsc.fault_check_matrix,
+            channel_probs=self._dsc.fault_priors,
+            **bp_options,
+        )
+
+    def readout_correction_batch(self, detector_batch: np.ndarray) -> np.ndarray:
+        """detector_batch (S, D + L) with observables appended -> corrected
+        observable bits (S, L)."""
+        D = self._dsc.fault_check_matrix.shape[0]
+        syndrome = detector_batch[:, :D]
+        logicals = detector_batch[:, D:]
+        fault_set, _post, _conv, _it = self._bpd.decode_batch(syndrome)
+        flips = (np.asarray(fault_set) @ self._dsc.fault_map.T.toarray()) % 2
+        return (logicals + flips) % 2
+
+
+def run_simulation(
+    samples,
+    code: QuantumCode,
+    meas_prior,
+    data_prior,
+    noise_model,
+    noise_model_args,
+    bp_osd_options: Dict,
+    rounds: int,
+    decoder_mode: str,
+    seed: Optional[int] = None,
+    use_device_sampler: Optional[bool] = None,
+):
+    """Build the storage circuit, sample, decode every shot, return per-shot
+    logical-failure booleans (reference ``:154-210``, batch-vectorized).
+
+    ``meas_prior`` / ``data_prior`` are callables ``(x_steps, z_steps) ->
+    float`` following the reference's prior-of-circuit-depth hook
+    (``:160-168``).
+    """
+    checks = code.checks
+    logicals = code.logicals
+
+    x_steps = max(int(checks.x.sum(axis=0).max()), int(checks.x.sum(axis=1).max()))
+    z_steps = max(int(checks.z.sum(axis=0).max()), int(checks.z.sum(axis=1).max()))
+
+    storage_sim = build_storage_simulation(
+        rounds, noise_model(**noise_model_args), code, use_x_logicals=False
+    )
+    meas_p = meas_prior(x_steps, z_steps)
+    data_p = data_prior(x_steps, z_steps)
+
+    detectors = decoder_mode == "bpd_detector"
+    if decoder_mode == "bposd":
+        decoder = BPOSDCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+    elif decoder_mode == "bposd_single_shot":
+        decoder = BPOSDCorrectSingleShot(code, rounds, bp_osd_options, (data_p, meas_p))
+    elif decoder_mode == "bposd_hybrid":
+        decoder = BPOSDHybridCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+    elif decoder_mode == "bpd_detector":
+        dem = detector_error_model(storage_sim.circuit)
+        decoder = BPDetectorCorrect(dem, bp_osd_options)
+    else:
+        raise RuntimeError("Unknown decoder operation mode")
+
+    # ---- sample ----
+    if use_device_sampler is None:
+        use_device_sampler = True
+    if use_device_sampler:
+        import jax
+
+        from ..sampler.device import DeviceSampler
+
+        sampler = DeviceSampler(storage_sim.circuit, shots=samples)
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        if detectors:
+            batch = np.asarray(sampler.sample_detectors(key, append_observables=True))
+        else:
+            batch = np.asarray(sampler.sample(key))
+    else:
+        from ..sampler.reference import FrameSampler
+
+        fs = FrameSampler(storage_sim.circuit, seed=seed)
+        batch = fs.sample_detectors(samples, append_observables=True) if detectors else fs.sample(samples)
+
+    # ---- decode (batched) ----
+    if detectors:
+        corrected = decoder.readout_correction_batch(batch)
+        return list(np.any(corrected != 0, axis=1))
+
+    x_count = checks.x.shape[0]
+    z_count = checks.z.shape[0]
+    mpr = x_count + z_count
+    S = batch.shape[0]
+    if rounds > 0:
+        history = np.stack(
+            [batch[:, r * mpr + x_count : r * mpr + x_count + z_count] for r in range(rounds)],
+            axis=1,
+        ).astype(np.int64)
+    else:
+        history = np.zeros((S, 0, z_count), dtype=np.int64)
+    readout = batch[:, mpr * rounds : mpr * rounds + code.num_qubits].astype(np.int64)
+
+    correction = decoder.readout_correction_batch(history, readout)
+    corrected_readout = (readout + correction) % 2
+    logical_flips = (corrected_readout @ logicals.z.T.astype(np.int64)) % 2
+    return list(np.any(logical_flips != 0, axis=1))
+
+
+def add_bposd_args(parser):
+    """BP+OSD CLI arguments (reference ``:213-219``)."""
+    parser.add_argument(
+        "--bposd_max_iter",
+        type=lambda x: int(x) if x is not None else None,
+        help="Maximum number of iterations for BP. Default is the number of qubits in the code",
+        default=None,
+    )
+    parser.add_argument(
+        "--bposd_bp_method",
+        choices=["ps", "ms", "msl"],
+        help="BP method (product-sum, min-sum, min-sum log)",
+        default="ps",
+    )
+    parser.add_argument(
+        "--bposd_ms_scaling_factor",
+        type=float,
+        help="Min sum scaling factor. Use variable scaling factor method if 0",
+        default=0,
+    )
+    parser.add_argument(
+        "--bposd_osd_method",
+        choices=["osd_e", "osd_cs", "osd0"],
+        help="OSD method",
+        default="osd_cs",
+    )
+    parser.add_argument("--bposd_osd_order", type=int, help="OSD search depth", default=7)
+
+
+def unpack_bposd_args(parsed_args, code: QuantumCode) -> Dict:
+    """CLI arguments -> decoder options dict (reference ``:221-229``)."""
+    return {
+        "max_iter": parsed_args.bposd_max_iter
+        if parsed_args.bposd_max_iter is not None
+        else code.checks.num_qubits,
+        "bp_method": parsed_args.bposd_bp_method,
+        "ms_scaling_factor": parsed_args.bposd_ms_scaling_factor,
+        "osd_method": parsed_args.bposd_osd_method,
+        "osd_order": parsed_args.bposd_osd_order,
+    }
+
+
+def load_code(args) -> QuantumCode:
+    """Load and validate a code file (reference ``:231-235``)."""
+    from ..codes.io import read_quantum_code
+
+    with args.code.open() as code_file:
+        return read_quantum_code(code_file, validate_stabilizer_code=True)

@@ -1,0 +1,177 @@
+"""OSD, spacetime builders, DEM, and end-to-end decode-chain tests."""
+import numpy as np
+import pytest
+
+from exp_ldpc_tpu.circuits.ir import parse_circuit
+from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+from exp_ldpc_tpu.circuits.storage_sim import build_storage_simulation
+from exp_ldpc_tpu.codes.hgp import biregular_hgp
+from exp_ldpc_tpu.decoders.bposd import BPOSDDecoder
+from exp_ldpc_tpu.decoders.dem import detector_error_model
+from exp_ldpc_tpu.decoders.drivers import run_simulation
+from exp_ldpc_tpu.decoders.osd import osd_decode
+from exp_ldpc_tpu.decoders.spacetime import SpacetimeCode, SpacetimeCodeSingleShot
+
+
+@pytest.fixture(scope="module")
+def code225():
+    return biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
+
+
+def test_osd_always_solves_syndrome():
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        r, n = 12, 25
+        H = (rng.random((r, n)) < 0.25).astype(np.uint8)
+        err = (rng.random(n) < 0.2).astype(np.uint8)
+        s = (H @ err) % 2
+        llr = rng.normal(2, 1, size=n).astype(np.float32)
+        for method in ["osd0", "osd_e", "osd_cs"]:
+            e = osd_decode(H, s, llr, osd_method=method, osd_order=4)
+            assert np.array_equal((H @ e) % 2, s), method
+
+
+def test_osd_higher_order_not_worse():
+    """osd_e / osd_cs candidates include osd0's, so their cost is <= osd0's."""
+    rng = np.random.default_rng(5)
+    H = (rng.random((10, 20)) < 0.3).astype(np.uint8)
+    for _ in range(5):
+        err = (rng.random(20) < 0.25).astype(np.uint8)
+        s = (H @ err) % 2
+        llr = rng.normal(1.5, 1.2, size=20).astype(np.float32)
+        q = np.clip(1 / (1 + np.exp(llr)), 1e-12, 1 - 1e-12)
+        cost = np.maximum(np.log((1 - q) / q), 1e-9)
+
+        def total(e):
+            return cost[e.astype(bool)].sum()
+
+        e0 = osd_decode(H, s, llr, "osd0")
+        ee = osd_decode(H, s, llr, "osd_e", 6)
+        ec = osd_decode(H, s, llr, "osd_cs", 6)
+        assert total(ee) <= total(e0) + 1e-9
+        assert total(ec) <= total(e0) + 1e-9
+
+
+def test_bposd_corrects_weight1_errors(code225):
+    Hz = code225.checks.z
+    n = Hz.shape[1]
+    errs = np.zeros((n, n), dtype=np.uint8)
+    np.fill_diagonal(errs, 1)
+    synds = (errs @ Hz.T.toarray()) % 2
+    dec = BPOSDDecoder.from_check_matrix(Hz, error_rate=0.01, max_iter=30)
+    out = dec.decode_batch(synds.astype(np.uint8))
+    # every weight-1 error must be corrected exactly (d > 2)
+    assert np.array_equal(out, errs)
+
+
+def test_spacetime_shapes(code225):
+    Hz = code225.checks.z
+    r, n = Hz.shape
+    for rounds in [0, 3]:
+        st = SpacetimeCode(Hz, rounds)
+        assert st.spacetime_check_matrix.shape == ((rounds + 1) * r, (rounds + 1) * n + rounds * r)
+    ss = SpacetimeCodeSingleShot(Hz)
+    assert ss.spacetime_check_matrix.shape == (r, n + r)
+
+
+def test_spacetime_syndrome_differencing(code225):
+    Hz = code225.checks.z
+    r, n = Hz.shape
+    rounds = 3
+    st = SpacetimeCode(Hz, rounds)
+    rng = np.random.default_rng(3)
+    history = rng.integers(0, 2, size=(2, rounds, r))
+    readout = rng.integers(0, 2, size=(2, n))
+    batch = st.syndrome_from_history_batch(history, readout)
+    # single-shot path agrees
+    single = st.syndrome_from_history(lambda t: history[0, t], readout[0])
+    assert np.array_equal(batch[0], single)
+    # differencing: round-0 block is raw, later blocks are consecutive XORs
+    assert np.array_equal(batch[0][:r], history[0, 0] % 2)
+    assert np.array_equal(batch[0][r : 2 * r], (history[0, 1] + history[0, 0]) % 2)
+
+
+def test_dem_single_fault_circuit():
+    # one X error channel on a data qubit between reset and readout:
+    # flips the MZ outcome -> hits the detector containing that measurement
+    circ = parse_circuit(["RZ 0 1", "X_ERROR(0.125) 0", "MZ 0 1",
+                          "DETECTOR(0) rec[-2]", "DETECTOR(1) rec[-1]",
+                          "OBSERVABLE_INCLUDE(0) rec[-2]"])
+    dem = detector_error_model(circ)
+    assert dem.num_faults == 1
+    assert dem.priors[0] == pytest.approx(0.125)
+    assert dem.fault_detectors.toarray().tolist() == [[1], [0]]
+    assert dem.fault_observables.toarray().tolist() == [[1]]
+
+
+def test_dem_merges_identical_faults():
+    # two X channels on the same qubit -> one merged fault p = p1(1-p2)+p2(1-p1)
+    circ = parse_circuit(["RZ 0", "X_ERROR(0.1) 0", "X_ERROR(0.2) 0", "MZ 0",
+                          "DETECTOR(0) rec[-1]"])
+    dem = detector_error_model(circ)
+    assert dem.num_faults == 1
+    assert dem.priors[0] == pytest.approx(0.1 * 0.8 + 0.2 * 0.9)
+
+
+def test_dem_depolarize_decomposition():
+    # DEPOLARIZE1 before MZ: X and Y flip the outcome (merge), Z doesn't (dropped)
+    circ = parse_circuit(["RZ 0", "DEPOLARIZE1(0.3) 0", "MZ 0", "DETECTOR(0) rec[-1]"])
+    dem = detector_error_model(circ)
+    assert dem.num_faults == 1
+    p = 0.1
+    assert dem.priors[0] == pytest.approx(p * (1 - p) + p * (1 - p))
+
+
+def test_dem_matches_sampler_rates(code225):
+    """DEM prior-weighted prediction of detector fire rates ~ sampled rates."""
+    sim = build_storage_simulation(2, depolarizing_noise(0.02, 0.01), code225)
+    circ = parse_circuit(sim.circuit)
+    dem = detector_error_model(circ)
+    # XOR of independent faults: P(d fires) = (1 - prod_f (1 - 2 p_f)) / 2
+    A = dem.fault_detectors.toarray().astype(bool)
+    pred = np.array(
+        [(1 - np.prod(1 - 2 * dem.priors[A[d]])) / 2 for d in range(A.shape[0])]
+    )
+    from exp_ldpc_tpu.sampler.reference import FrameSampler
+
+    det = FrameSampler(circ, seed=9).sample_detectors(6000)
+    measured = det.mean(axis=0)
+    # agree within a few % relative (residual: DEM treats the X/Z parts of a
+    # Y error as independent) + binomial noise
+    mask = pred > 0.01
+    assert mask.any()
+    rel = np.abs(measured[mask] - pred[mask]) / pred[mask]
+    assert np.median(rel) < 0.06
+
+
+@pytest.mark.parametrize("mode", ["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector"])
+def test_run_simulation_modes(code225, mode):
+    opts = {"max_iter": 40, "bp_method": "ps", "ms_scaling_factor": 0,
+            "osd_method": "osd_cs", "osd_order": 4}
+    fails = run_simulation(
+        samples=64, code=code225,
+        meas_prior=lambda xs, zs: 2 / 3 * 0.002, data_prior=lambda xs, zs: 2 / 3 * 0.002,
+        noise_model=depolarizing_noise, noise_model_args={"p": 0.002, "pm": 0.002},
+        bp_osd_options=opts, rounds=2, decoder_mode=mode, seed=1,
+        use_device_sampler=False,
+    )
+    assert len(fails) == 64
+    assert sum(fails) <= 10  # low physical rate -> few logical failures
+
+
+def test_run_simulation_monotonic_in_p(code225):
+    opts = {"max_iter": 30, "bp_method": "ps", "ms_scaling_factor": 0,
+            "osd_method": "osd0", "osd_order": 0}
+
+    def run(p, samples=192):
+        return sum(run_simulation(
+            samples=samples, code=code225,
+            meas_prior=lambda xs, zs: 2 / 3 * p, data_prior=lambda xs, zs: 2 / 3 * p,
+            noise_model=depolarizing_noise, noise_model_args={"p": p, "pm": p},
+            bp_osd_options=opts, rounds=1, decoder_mode="bposd", seed=2,
+            use_device_sampler=False,
+        ))
+
+    low, high = run(0.0005), run(0.05)
+    assert low <= 2
+    assert high > low + 10
