@@ -49,7 +49,10 @@ def compute_logical_pairs(z_logicals: np.ndarray, x_logicals: np.ndarray) -> np.
     Row-reduces the augmented matrix (L_z L_x^T | L_z) over the pairing block
     only — parity with ``homological_product_code.py:23-35``.
     """
-    inner = (z_logicals.astype(np.int64) @ x_logicals.astype(np.int64).T) % 2
+    # f32 BLAS matmul: exact for sums < 2^24, ~100x numpy's integer matmul
+    inner = (
+        (z_logicals.astype(np.float32) @ x_logicals.astype(np.float32).T) % 2
+    ).astype(np.uint8)
     num_pairs = inner.shape[1]
     aug = np.hstack([inner.astype(np.uint8), z_logicals.astype(np.uint8)])
     reduced, _ = gf2.row_reduce(aug, ncols=num_pairs)

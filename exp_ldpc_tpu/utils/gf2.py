@@ -38,23 +38,21 @@ def pack_rows(a: np.ndarray) -> np.ndarray:
     if a.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {a.shape}")
     bits = (a & 1).astype(np.uint8)
-    ncols = bits.shape[1]
-    pad = (-ncols) % _WORD
+    packed8 = np.packbits(bits, axis=1, bitorder="little")
+    pad = (-packed8.shape[1]) % 8
     if pad:
-        bits = np.pad(bits, ((0, 0), (0, pad)))
-    # (rows, words, 64) -> uint64
-    bits = bits.reshape(bits.shape[0], -1, _WORD)
-    weights = (np.uint64(1) << np.arange(_WORD, dtype=np.uint64))
-    return (bits.astype(np.uint64) * weights).sum(axis=2, dtype=np.uint64)
+        packed8 = np.pad(packed8, ((0, 0), (0, pad)))
+    # little-endian bytes -> little-endian uint64 words (bit k of word w is
+    # column 64*w + k), C-speed via packbits
+    return np.ascontiguousarray(packed8).view(np.uint64)
 
 
 def unpack_rows(packed: np.ndarray, ncols: int) -> np.ndarray:
     """Inverse of :func:`pack_rows`; returns a uint8 0/1 array of shape (rows, ncols)."""
-    packed = np.asarray(packed, dtype=np.uint64)
-    shifts = np.arange(_WORD, dtype=np.uint64)
-    bits = (packed[:, :, None] >> shifts) & np.uint64(1)
-    bits = bits.reshape(packed.shape[0], -1)[:, :ncols]
-    return bits.astype(np.uint8)
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    bytes_view = packed.view(np.uint8)
+    bits = np.unpackbits(bytes_view, axis=1, bitorder="little")
+    return bits[:, :ncols]
 
 
 def _get_bit(packed: np.ndarray, row: int, col: int) -> int:
@@ -71,11 +69,24 @@ def row_reduce_packed(packed: np.ndarray, ncols: int, reduce_cols: int | None = 
 
     Returns (packed, pivot_cols).  Mirrors the semantics of galois
     ``FieldArray.row_reduce(ncols=...)`` relied on by the reference at
-    ``homological_product_code.py:15,32``.
+    ``homological_product_code.py:15,32``.  Dispatches to the C++ kernel
+    (exp_ldpc_tpu.native) when available; the numpy path below is the
+    bit-exact fallback.
     """
     nrows = packed.shape[0]
     if reduce_cols is None:
         reduce_cols = ncols
+
+    from ..native import get_gf2_lib
+
+    lib = get_gf2_lib()
+    if lib is not None and nrows > 0:
+        packed = np.ascontiguousarray(packed, dtype=np.uint64)
+        pivots = np.zeros(min(nrows, reduce_cols) + 1, dtype=np.int64)
+        npiv = lib.gf2_row_reduce(
+            packed.ctypes.data, nrows, packed.shape[1], reduce_cols, pivots.ctypes.data
+        )
+        return packed, pivots[:npiv]
     pivot_cols = []
     pr = 0  # pivot row
     for col in range(reduce_cols):
@@ -129,6 +140,13 @@ def rank(a: np.ndarray) -> int:
     if a.size == 0:
         return 0
     packed = pack_rows(a)
+
+    from ..native import get_gf2_lib
+
+    lib = get_gf2_lib()
+    if lib is not None:
+        packed = np.ascontiguousarray(packed, dtype=np.uint64)
+        return int(lib.gf2_rank(packed.ctypes.data, packed.shape[0], packed.shape[1], a.shape[1]))
     _, pivots = row_reduce_packed(packed, a.shape[1])
     return len(pivots)
 
@@ -143,13 +161,13 @@ def null_space(a: np.ndarray) -> np.ndarray:
     nrows, ncols = a.shape
     rref, pivots = row_reduce(a)
     pivot_set = set(int(p) for p in pivots)
-    free_cols = [c for c in range(ncols) if c not in pivot_set]
+    free_cols = np.array([c for c in range(ncols) if c not in pivot_set], dtype=np.int64)
     basis = np.zeros((len(free_cols), ncols), dtype=np.uint8)
-    for i, fc in enumerate(free_cols):
-        basis[i, fc] = 1
-        # pivot rows: x_pivot = sum of rref[row, free] * x_free
-        for r, pc in enumerate(pivots):
-            basis[i, pc] = rref[r, fc]
+    if len(free_cols):
+        basis[np.arange(len(free_cols)), free_cols] = 1
+        if len(pivots):
+            # pivot coordinates: x_pivot = rref[pivot_row, free_col] * x_free
+            basis[:, pivots] = rref[np.ix_(np.arange(len(pivots)), free_cols)].T
     return basis
 
 
