@@ -8,6 +8,12 @@ The baseline denominator is the BASELINE.json north-star target of >= 10M BP
 iterations*shots/s/chip (the reference publishes no numbers of its own —
 BASELINE.md).  Measured as a fixed-32-iteration min-sum batched decode
 (batch 1024, p = 1e-3 syndromes) with warmup, averaged over repeats.
+
+Methodology notes: each repeat decodes a DISTINCT syndrome batch (identical
+repeated calls can be deduplicated by remote-execution backends and would
+overstate throughput); all repeats are dispatched before a single
+block_until_ready so per-call host->device round-trip latency amortizes the
+way it does in a real Monte-Carlo sweep.
 """
 import json
 import time
@@ -26,30 +32,35 @@ def main():
     shots = 1024
     iters = 32
     p = 1e-3
+    reps = 32
 
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=False)
     Hz = code.checks.z
     tanner = TannerELL.from_check_matrix(Hz)
     prior = jnp.asarray(priors_to_llr(np.full(Hz.shape[1], p)))
+    Hz_dense = Hz.T.toarray()
 
     rng = np.random.default_rng(0)
-    errors = (rng.random((shots, Hz.shape[1])) < p).astype(np.uint8)
-    syndromes = jnp.asarray(((errors @ Hz.T.toarray()) % 2).astype(np.uint8).T)  # (C, S)
 
+    def make_syndromes():
+        errors = (rng.random((shots, Hz.shape[1])) < p).astype(np.uint8)
+        return jnp.asarray(((errors @ Hz_dense) % 2).astype(np.uint8).T)  # (C, S)
+
+    @jax.jit
     def run(synd):
-        hard, post, conv, it = _bp_core(
+        hard, _post, _conv, _it = _bp_core(
             tanner, prior, synd, "ms", iters, jnp.float32(0.625), False
         )
-        return hard
+        return hard.sum()  # tiny device->host transfer per call
+
+    synds = [jax.device_put(make_syndromes()) for _ in range(reps)]
 
     # warmup/compile
-    run(syndromes)[0].block_until_ready()
+    run(synds[0]).block_until_ready()
 
-    reps = 20
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(syndromes)
-    out[0].block_until_ready()
+    outs = [run(s) for s in synds]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / reps
 
     value = iters * shots / dt

@@ -12,6 +12,14 @@ Messages live in edge-major arrays with ONE extra padding slot at index E;
 padded index entries point at that slot, so gathers read a neutral element
 (+inf for min-trees, 0 for sums) and scatters harmlessly overwrite it.  All
 shapes are static — no data-dependent control flow reaches XLA.
+
+For the scatter-free BP formulation (XLA scatters serialize on TPU; gathers
+ride the fast row-copy path) the two layouts are additionally linked by flat
+PERMUTATION maps: ``vm_from_cm[v, j]`` is the flattened check-major slot
+``c*Dc + i`` holding the same edge as variable-major slot ``(v, j)`` (or the
+one-past-end pad index ``C*Dc`` for padded slots), and symmetrically
+``cm_from_vm``.  One BP iteration is then elementwise math in one layout plus
+a single static gather into the other — no scatters anywhere.
 """
 from __future__ import annotations
 
@@ -36,6 +44,9 @@ class TannerELL:
     var_edges: np.ndarray
     var_checks: np.ndarray
     var_mask: np.ndarray
+    # flat cross-layout permutations (pad index = one past end of the source)
+    vm_from_cm: np.ndarray  # (V, Dv) -> index into flattened (C*Dc [+pad]) array
+    cm_from_vm: np.ndarray  # (C, Dc) -> index into flattened (V*Dv [+pad]) array
 
     @classmethod
     def from_check_matrix(cls, H) -> "TannerELL":
@@ -72,13 +83,31 @@ class TannerELL:
         var_checks = np.zeros((n, Dv), dtype=np.int32)
         var_mask = np.zeros((n, Dv), dtype=bool)
         slot = np.zeros(n, dtype=np.int64)
+        var_slot_of_edge = np.zeros(E, dtype=np.int64)
         for e in range(E):
             v = variables[e]
             s = slot[v]
             var_edges[v, s] = e
             var_checks[v, s] = checks[e]
             var_mask[v, s] = True
+            var_slot_of_edge[e] = s
             slot[v] += 1
+
+        # cross-layout permutations: edge e lives at check-major slot
+        # (check[e], chk_slot) and variable-major slot (var[e], var_slot)
+        chk_slot_of_edge = np.zeros(E, dtype=np.int64)
+        fill = np.zeros(r, dtype=np.int64)
+        for e in range(E):
+            c = checks[e]
+            chk_slot_of_edge[e] = fill[c]
+            fill[c] += 1
+
+        vm_from_cm = np.full((n, Dv), r * Dc, dtype=np.int32)
+        cm_from_vm = np.full((r, Dc), n * Dv, dtype=np.int32)
+        cm_flat = checks.astype(np.int64) * Dc + chk_slot_of_edge
+        vm_flat = variables.astype(np.int64) * Dv + var_slot_of_edge
+        vm_from_cm.reshape(-1)[vm_flat] = cm_flat.astype(np.int32)
+        cm_from_vm.reshape(-1)[cm_flat] = vm_flat.astype(np.int32)
 
         return cls(
             num_checks=r,
@@ -90,6 +119,8 @@ class TannerELL:
             var_edges=var_edges,
             var_checks=var_checks,
             var_mask=var_mask,
+            vm_from_cm=vm_from_cm,
+            cm_from_vm=cm_from_vm,
         )
 
     @property

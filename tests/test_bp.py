@@ -25,7 +25,9 @@ def test_jax_matches_numpy(method, seed):
     probs = rng.uniform(0.005, 0.05, size=30)
     synds = rng.integers(0, 2, size=(8, 15)).astype(np.uint8)
     kw = dict(channel_probs=probs, bp_method=method, max_iter=30, ms_scaling_factor=0.0)
-    jd = BPDecoder.from_check_matrix(H, **kw)
+    # pin the gather formulation: it shares the numpy oracle's f32 summation
+    # order exactly (the matmul formulation tree-sums; see test below)
+    jd = BPDecoder.from_check_matrix(H, formulation="gather", **kw)
     nd = NumpyBPDecoder.from_check_matrix(H, **kw)
     hj, pj, cj, ij = jd.decode_batch(synds)
     hn, pn, cn, in_ = nd.decode_batch(synds)
@@ -35,6 +37,31 @@ def test_jax_matches_numpy(method, seed):
     # f32 accumulation order differs between XLA fusion and numpy; tolerance
     # covers ~30 iterations of drift on unconverged shots
     assert np.allclose(np.asarray(pj), pn, rtol=1e-2, atol=5e-3)
+
+
+@pytest.mark.parametrize("method", ["ps", "ms"])
+def test_matmul_formulation_agrees_with_gather(method):
+    """The MXU-matmul message routing must agree with the gather routing on
+    every converged shot (both satisfy the syndrome exactly) and on the vast
+    majority of hard decisions overall (f32 ordering may differ on
+    non-converged shots)."""
+    rng = np.random.default_rng(3)
+    H = random_ldpc(rng, 24, 48)
+    errs = (rng.random((64, 48)) < 0.03).astype(np.uint8)
+    synds = (errs @ H.T) % 2
+    kw = dict(error_rate=0.03, bp_method=method, max_iter=40)
+    dg = BPDecoder.from_check_matrix(H, formulation="gather", **kw)
+    dm = BPDecoder.from_check_matrix(H, formulation="matmul", **kw)
+    hg, _pg, cg, _ = dg.decode_batch(synds)
+    hm, _pm, cm, _ = dm.decode_batch(synds)
+    hg, hm = np.asarray(hg), np.asarray(hm)
+    cg, cm = np.asarray(cg), np.asarray(cm)
+    for i in range(synds.shape[0]):
+        if cm[i]:
+            assert np.array_equal((hm[i] @ H.T) % 2, synds[i])
+    # convergence behaviour should be near-identical
+    assert (cg == cm).mean() >= 0.95
+    assert (hg == hm).mean() >= 0.99
 
 
 def test_converged_solutions_satisfy_syndrome():
