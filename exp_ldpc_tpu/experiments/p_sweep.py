@@ -15,27 +15,64 @@ failures) — optionally sharded over a device mesh by the caller via
 """
 from __future__ import annotations
 
+import json
 import re
 import sys
 from argparse import ArgumentParser
 from datetime import datetime
 from pathlib import Path
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 from ..decoders.drivers import add_bposd_args, load_code, run_simulation, unpack_bposd_args
+from ..utils.observability import get_logger
 
 __all__ = ["p_sweep", "p_sweep_main", "parse_sweep_spec"]
 
+_log = get_logger("p_sweep")
+
+
+def _load_checkpoint(path: Path):
+    """Completed sweep-point records from a JSONL checkpoint (resume support).
+
+    The reference has no partial-sweep resume at all — a crashed Pool loses
+    the whole sweep (SURVEY.md §5 'Checkpoint / resume').  Here every
+    completed point is appended to the checkpoint file as one JSON line, and
+    an interrupted sweep restarted with the same checkpoint skips them.
+    """
+    records = []
+    if path.exists():
+        with path.open() as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    records.append(json.loads(line))
+    return records
+
 
 def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_prior,
-            seed=None, use_device_sampler=None, **kwargs):
-    """Sweep physical error rates; returns a pandas DataFrame of records."""
+            seed=None, use_device_sampler=None, checkpoint: Optional[Path] = None,
+            **kwargs):
+    """Sweep physical error rates; returns a pandas DataFrame of records.
+
+    With ``checkpoint`` set, completed points are streamed to a JSONL file
+    and a restarted sweep resumes after the last completed point.
+    """
     import pandas as pd
 
     data = []
+    done_p = set()
+    if checkpoint is not None:
+        checkpoint = Path(checkpoint)
+        data = _load_checkpoint(checkpoint)
+        done_p = {round(float(rec["p_ph"]), 12) for rec in data}
+        if data:
+            _log.info("resuming sweep: %d completed points in %s", len(data), checkpoint)
+
     for i, p_ph in enumerate(p_values):
+        if round(float(p_ph), 12) in done_p:
+            continue
         time_start = datetime.now()
         logical_values = run_simulation(
             samples,
@@ -58,7 +95,17 @@ def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_p
         }
         del point["code"]
         del point["bp_osd_options"]
+        _log.info("p=%g: %d/%d failures in %.1fs", p_ph, point["failures"],
+                  point["samples"], runtime)
         data.append(point)
+        if checkpoint is not None:
+            def _jsonable(v):
+                if hasattr(v, "item"):  # numpy scalars
+                    v = v.item()
+                return v if isinstance(v, (int, float, str, bool, type(None))) else repr(v)
+            with checkpoint.open("a") as f:
+                json.dump({k: _jsonable(v) for k, v in point.items()}, f)
+                f.write("\n")
     return pd.DataFrame.from_records(data)
 
 
@@ -112,6 +159,11 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
     parser.add_argument(
         "--cpu_sampler", action="store_true", help="Use the CPU oracle sampler instead of the device sampler"
     )
+    parser.add_argument(
+        "--checkpoint", type=Path, default=None,
+        help="JSONL file to stream completed sweep points to; re-running with "
+        "the same file resumes after the last completed point",
+    )
     add_bposd_args(parser)
 
     args = parser.parse_args(sys.argv[1:])
@@ -133,6 +185,7 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
         bp_osd_options=bp_osd_options,
         seed=args.seed,
         use_device_sampler=not args.cpu_sampler,
+        checkpoint=args.checkpoint,
     )
     result.to_csv(sys.stdout)
 
