@@ -1,0 +1,99 @@
+"""Statistical parity tests between the decode paths.
+
+The reference has NO end-to-end decoder tests at all (SURVEY.md §4:
+"the decoder drivers in misc/ have no tests"); this file adds what the TPU
+build needs most — agreement between the fully-fused on-device pipeline
+(device sampler + batched device BP) and the host oracle chain (CPU
+Pauli-frame sampler + driver decode), within binomial error bars, plus
+check-partition sharded decoding of a multi-round spacetime matrix.
+"""
+import numpy as np
+import pytest
+
+from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+from exp_ldpc_tpu.codes.hgp import biregular_hgp
+from exp_ldpc_tpu.decoders.drivers import run_simulation
+from exp_ldpc_tpu.parallel.mesh import make_mesh
+from exp_ldpc_tpu.parallel.pipeline import StorageDecodePipeline
+
+
+@pytest.fixture(scope="module")
+def small_code():
+    # 52-qubit (2,3) HGP: big enough for nontrivial failure rates, small
+    # enough for fast CPU compiles
+    return biregular_hgp(6, 2, 3, seed=1, compute_logicals=True)
+
+
+def _binomial_2sigma_gap(f1, n1, f2, n2):
+    """|rate1 - rate2| minus 2x the pooled binomial sigma (negative = agree)."""
+    r1, r2 = f1 / n1, f2 / n2
+    pool = (f1 + f2) / (n1 + n2)
+    sigma = np.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n2))
+    return abs(r1 - r2) - 2 * sigma
+
+
+def test_pipeline_matches_host_chain(small_code):
+    """On-device pipeline LER == host-chain (CPU sampler) LER within 2 sigma.
+
+    Uses plain BP on the spacetime matrix in both paths (the pipeline's
+    device-resident mode); p is high enough that failures are plentiful."""
+    import jax
+
+    p = 0.02
+    rounds = 2
+    shots = 512
+
+    pipe = StorageDecodePipeline(
+        code=small_code, rounds=rounds, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=shots, max_iter=24, bp_method="ms",
+        ms_scaling_factor=0.625)
+    fail_dev, n_dev, _unconv = pipe.run(jax.random.PRNGKey(7))
+
+    fails = run_simulation(
+        samples=shots, code=small_code, rounds=rounds,
+        noise_model=depolarizing_noise,
+        noise_model_args=dict(p=p, pm=p),
+        meas_prior=lambda xs, zs: 2 / 3 * p,
+        data_prior=lambda xs, zs: 2 / 3 * p,
+        bp_osd_options=dict(bp_method="ms", ms_scaling_factor=0.625,
+                            max_iter=24, osd_method="osd0", osd_order=0),
+        decoder_mode="bposd_hybrid", seed=11, use_device_sampler=False)
+    fail_host = int(np.asarray(fails).sum())
+
+    assert fail_dev > 0 and fail_host > 0  # p chosen to produce failures
+    gap = _binomial_2sigma_gap(fail_dev, n_dev, fail_host, shots)
+    assert gap < 0, (fail_dev, n_dev, fail_host, shots, gap)
+
+
+def test_sharded_bp_decodes_spacetime_matrix(small_code):
+    """Check-partition sharding handles the block-structured multi-round
+    spacetime matrix (the '1-D halo' rounds-axis layout, SURVEY.md §5)."""
+    from exp_ldpc_tpu.decoders.bp import BPDecoder
+    from exp_ldpc_tpu.decoders.spacetime import SpacetimeCode
+    from exp_ldpc_tpu.parallel.check_shard import ShardedBPDecoder
+
+    rounds = 3
+    st = SpacetimeCode(small_code.checks.z, rounds)
+    H = st.spacetime_check_matrix
+    C, V = H.shape
+    prior = np.full(V, 0.01)
+
+    rng = np.random.default_rng(2)
+    errs = (rng.random((32, V)) < 0.01).astype(np.uint8)
+    synds = (errs @ H.T.toarray()) % 2
+
+    mesh = make_mesh(8, model_parallel=4)  # rounds axis splits over 4 shards
+    sh = ShardedBPDecoder.from_check_matrix(
+        H, mesh, channel_probs=prior, bp_method="ms",
+        ms_scaling_factor=0.625, max_iter=40)
+    ref = BPDecoder.from_check_matrix(
+        H, channel_probs=prior, bp_method="ms", ms_scaling_factor=0.625,
+        max_iter=40, formulation="gather")
+
+    hs, _ps, cs = sh.decode_batch(synds)
+    hr, _pr, cr, _ = ref.decode_batch(synds)
+    for i in np.nonzero(cs)[0]:
+        assert np.array_equal((hs[i] @ H.T.toarray()) % 2, synds[i])
+    assert (np.asarray(cr) == cs).mean() >= 0.9
+    assert (np.asarray(hr) == hs).mean() >= 0.99
