@@ -28,6 +28,7 @@ __all__ = [
     "BPOSDCorrectSingleShot",
     "BPOSDHybridCorrect",
     "BPDetectorCorrect",
+    "RelayBPCorrect",
     "run_simulation",
     "add_bposd_args",
     "unpack_bposd_args",
@@ -131,6 +132,39 @@ class BPOSDHybridCorrect:
 
 
 @dataclass
+class RelayBPCorrect:
+    """Relay (disordered-memory) BP ensemble on the full spacetime matrix —
+    the fully-parallel OSD-free mode (PAPERS.md arXiv:2507.00254; no
+    reference counterpart).  Accepts the bposd option dict; ``relay_legs``
+    and ``relay_iters_per_leg`` extend it (budget defaults mirror the
+    ensemble sizes of the paper)."""
+
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        from .relay_bp import RelayBPDecoder
+
+        data_prior, meas_prior = priors
+        self._checks = code.checks.z
+        self._spacetime_code = SpacetimeCode(self._checks, rounds)
+        opts = dict(bp_osd_options)
+        num_legs = int(opts.pop("relay_legs", 8))
+        iters_per_leg = int(opts.pop("relay_iters_per_leg", 30))
+        self._bpd = RelayBPDecoder.from_check_matrix(
+            self._spacetime_code.spacetime_check_matrix,
+            channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
+            method=opts.get("bp_method", "ms"),
+            ms_scaling_factor=float(opts.get("ms_scaling_factor", 1.0) or 1.0),
+            num_legs=num_legs,
+            iters_per_leg=iters_per_leg,
+            seed=int(opts.pop("relay_seed", 0)),
+        )
+
+    def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
+        syndromes = self._spacetime_code.syndrome_from_history_batch(history, readout)
+        correction, _post, _conv, _leg = self._bpd.decode_batch(syndromes)
+        return self._spacetime_code.final_correction(np.asarray(correction))
+
+
+@dataclass
 class BPDetectorCorrect:
     """BP on the detector-error-model fault matrix (reference ``:128-151``,
     with the fault/detector indexing bug SURVEY.md §2.5.1 fixed)."""
@@ -197,6 +231,8 @@ def run_simulation(
     elif decoder_mode == "bpd_detector":
         dem = detector_error_model(storage_sim.circuit)
         decoder = BPDetectorCorrect(dem, bp_osd_options)
+    elif decoder_mode == "relay_bp":
+        decoder = RelayBPCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
     else:
         raise RuntimeError("Unknown decoder operation mode")
 
