@@ -4,31 +4,36 @@ TPU-native replacement for the hot path of the Cython ``ldpc`` package's
 ``bp_decoder`` (reference: ``/root/reference/python/qldpc/misc/
 _experiment.py:2,199-209`` decodes shot-by-shot in Python).  The XLA
 formulation in :mod:`.bp` streams (C, Dc, S) message arrays through HBM every
-iteration (~12 MB/iter on HGP-225); this kernel instead keeps ALL messages in
-VMEM for the entire decode, so per-iteration cost is pure compute:
+iteration; this kernel keeps ALL decode state in VMEM scratch for the entire
+fixed-iteration flooding schedule:
 
-  * messages are stored as (Dc, C, S) "plane" stacks — the check-node
-    reductions (sign product, min1/min2 or phi-sum) unroll over the small
-    leading Dc axis as elementwise (C, S) vector ops;
+  * v2c/c2v messages live in (Dc*C_pad, S) VMEM scratch in "plane" order
+    (plane i holds slot i of every check) — the check-node reductions (sign
+    product, min1/min2 with first-occurrence ties) unroll over the small Dc
+    axis as elementwise (C_pad, S) vector ops on static row slices;
   * the variable-node update needs only per-variable TOTALS, computed as one
-    MXU matmul ``M @ c2v_flat`` with a 0/1 segment-sum matrix (V, Dc*C), and
-    the result is routed back edge-wise by a second one-hot matmul
-    ``G @ posterior``; v2c = G@posterior - c2v.  No gathers, no scatters.
+    MXU matmul ``M @ c2v`` with a 0/1 segment-sum matrix (V_pad, Dc*C_pad),
+    and routed back edge-wise by a second one-hot matmul ``G @ posterior``;
+    ``v2c = G@posterior - c2v``.  No gathers, no scatters;
   * the final hard decision is syndrome-checked in-kernel with a third
     matmul against the dense 0/1 check matrix (mod 2 on the f32 counts).
 
-The kernel is fixed-iteration (flooding schedule); per-shot early stopping
-does not pay on TPU because the batch proceeds in lockstep anyway.  Grid is
-over shot blocks; one grid step holds ~(4 + Dc) (C, S_blk) f32 planes plus
-the three one-hot operands in VMEM.
+The kernel is fixed-iteration (flooding); per-shot early stopping does not
+pay on TPU because the batch proceeds in lockstep anyway.  Grid is over shot
+blocks.  Dense one-hot operands make this O(E * V) per shot-block, so it is
+gated on a VMEM budget (:func:`fits_pallas`); larger codes (e.g. many-round
+spacetime matrices) use the scatter-free formulations in :mod:`.bp`.
 
-Dense one-hot operands make this kernel O(E * V) per shot-block, so it is
-gated on a VMEM budget (``fits_pallas``); larger codes (e.g. many-round
-spacetime matrices) use the scatter-free gather formulation in :mod:`.bp`.
+Bit-exact against ``_bp_core(..., formulation="matmul", early_stop=False)``
+up to matmul accumulation order (verified 100% hard-decision agreement on
+the HGP-225 benchmark).  On current Mosaic/v5e the XLA matmul formulation
+schedules these sizes slightly better; this kernel is kept as an optional
+backend (``BPDecoder`` stays on XLA by default) and as the substrate for
+future fusions XLA cannot do (e.g. on-chip ensemble relay legs).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +54,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@lru_cache(maxsize=16)
 def build_operands(tanner: TannerELL):
     """Dense one-hot operands (padded to MXU-friendly shapes), as numpy.
 
@@ -56,7 +62,7 @@ def build_operands(tanner: TannerELL):
       M  (V_pad, Dc*C_pad)  segment-sum: variable totals from edge values
       G  (Dc*C_pad, V_pad)  edge-wise broadcast of per-variable values
       H  (C_pad, V_pad)     dense 0/1 check matrix (for in-kernel syndrome)
-      chk_vars_plane, chk_mask_plane  (Dc, C_pad) plane-layout metadata
+      mask_plane, vars_plane  (Dc, C_pad) plane-layout slot metadata
     """
     C, V, Dc = tanner.num_checks, tanner.num_vars, tanner.max_check_degree
     C_pad = _round_up(C, 8)
@@ -79,33 +85,33 @@ def build_operands(tanner: TannerELL):
             G[e, v] = 1.0
             H[c, v] = 1.0
 
-    prior_mask = np.zeros((Dc, C_pad), dtype=np.float32)
-    prior_vars = np.zeros((Dc, C_pad), dtype=np.int32)
+    mask_plane = np.zeros((Dc, C_pad), dtype=np.float32)
+    vars_plane = np.zeros((Dc, C_pad), dtype=np.int32)
     for c in range(C):
         for i in range(Dc):
-            prior_mask[i, c] = 1.0 if chk_mask[c, i] else 0.0
-            prior_vars[i, c] = chk_vars[c, i] if chk_mask[c, i] else 0
+            mask_plane[i, c] = 1.0 if chk_mask[c, i] else 0.0
+            vars_plane[i, c] = chk_vars[c, i] if chk_mask[c, i] else 0
     return {
         "M": M,
         "G": G,
         "H": H,
-        "mask_plane": prior_mask,
-        "vars_plane": prior_vars,
+        "mask_plane": mask_plane,
+        "vars_plane": vars_plane,
         "C_pad": C_pad,
         "V_pad": V_pad,
     }
 
 
 def fits_pallas(tanner: TannerELL, shot_block: int = 1024,
-                vmem_budget_bytes: int = 96 * 2**20) -> bool:
+                vmem_budget_bytes: int = 64 * 2**20) -> bool:
     """Rough VMEM feasibility check for the dense-operand kernel."""
     C_pad = _round_up(tanner.num_checks, 8)
     V_pad = _round_up(tanner.num_vars, 128)
     Dc = tanner.max_check_degree
     E_pad = Dc * C_pad
-    operands = 4 * (V_pad * E_pad * 2 + C_pad * V_pad)
-    # v2c, c2v, ~4 live temporaries of the same size, posterior, syndrome
-    state = 4 * (E_pad * shot_block * 6 + 2 * V_pad * shot_block + C_pad * shot_block)
+    operands = 4 * (2 * V_pad * E_pad + C_pad * V_pad)
+    # scratch: v2c + c2v + posterior + ~3 live temporaries + inputs
+    state = 4 * shot_block * (4 * E_pad + 2 * V_pad + 2 * C_pad)
     return operands + state < vmem_budget_bytes
 
 
@@ -114,30 +120,28 @@ def _phi(x):
     return -jnp.log(jnp.tanh(x * 0.5))
 
 
-def _kernel(synd_ref, prior_ref, pvec_ref, M_ref, G_ref, H_ref,
-            hard_ref, post_ref, conv_ref,
-            *, Dc: int, method: str, max_iter: int, alpha0: float,
-            adaptive: bool):
-    """One shot-block BP decode, everything VMEM-resident.
+def _kernel(synd_ref, pvec_ref, prior_pl_ref, mask_ref, M_ref, G_ref, H_ref,
+            hard_ref, post_out_ref, conv_ref, v2c_ref, c2v_ref, post_ref,
+            *, Dc: int, C_pad: int, method: str, max_iter: int,
+            alpha0: float, adaptive: bool):
+    """One shot-block fixed-iteration BP decode, state in VMEM scratch.
 
-    synd_ref:  (C_pad, S) f32 in {0,1} (padded rows 0)
-    prior_ref: (Dc*C_pad, S) f32 initial v2c planes (padded slots +BIG)
-    pvec_ref:  (V_pad, S) f32 per-variable prior broadcast over shots
-    M_ref: (V_pad, Dc*C_pad); G_ref: (Dc*C_pad, V_pad); H_ref: (C_pad, V_pad)
-    hard_ref: (V_pad, S) f32 out; post_ref: (V_pad, S) f32 out;
-    conv_ref: (8, S) f32 out (row 0: 1.0 = syndrome satisfied at last iter)
+    synd_ref (C_pad, S) f32 {0,1}; pvec_ref (V_pad, S) prior broadcast;
+    prior_pl_ref/mask_ref (Dc*C_pad, S) initial v2c planes / slot mask;
+    M/G/H as in :func:`build_operands`; outputs hard/posterior (V_pad, S),
+    conv (8, S) with row 0 meaningful; scratch v2c/c2v (Dc*C_pad, S) and
+    post (V_pad, S).
     """
-    C_pad, S = synd_ref.shape
-    E_pad = Dc * C_pad
-    synd_sign = 1.0 - 2.0 * synd_ref[:]  # (C_pad, S)
+    synd_sign = 1.0 - 2.0 * synd_ref[:]
+    v2c_ref[:] = prior_pl_ref[:]
 
-    def plane(x, i):
-        return x[i * C_pad:(i + 1) * C_pad, :]
+    def plane(ref, i):
+        return ref[i * C_pad:(i + 1) * C_pad, :]
 
-    def one_iter(it, v2c):
-        # ---- check update, unrolled over the Dc planes (all (C_pad, S)) ----
-        signs = [jnp.where(plane(v2c, i) < 0, -1.0, 1.0) for i in range(Dc)]
-        mags = [jnp.abs(plane(v2c, i)) for i in range(Dc)]
+    def body(it, _):
+        planes = [plane(v2c_ref, i) for i in range(Dc)]
+        signs = [jnp.where(p < 0, -1.0, 1.0) for p in planes]
+        mags = [jnp.abs(p) for p in planes]
         total_sign = synd_sign
         for s in signs:
             total_sign = total_sign * s
@@ -147,10 +151,11 @@ def _kernel(synd_ref, prior_ref, pvec_ref, M_ref, G_ref, H_ref,
             total = phs[0]
             for ph in phs[1:]:
                 total = total + ph
-            exts = [_phi(total - ph) for ph in phs]
-            c2v_planes = [total_sign * s * e for s, e in zip(signs, exts)]
+            for i in range(Dc):
+                c2v_ref[i * C_pad:(i + 1) * C_pad, :] = (
+                    total_sign * signs[i] * _phi(total - phs[i]))
         else:
-            # running (min1, min2, argmin-plane); ties keep the first plane
+            # running (min1, min2, argmin plane); ties keep the first plane
             min1 = mags[0]
             min2 = jnp.full_like(min1, _BIG)
             arg = jnp.zeros_like(min1)
@@ -164,34 +169,23 @@ def _kernel(synd_ref, prior_ref, pvec_ref, M_ref, G_ref, H_ref,
                 alpha = 1.0 - 2.0 ** (-(it + 1).astype(jnp.float32))
             else:
                 alpha = alpha0
-            c2v_planes = [
-                total_sign * signs[i]
-                * jnp.where(arg == float(i), min2, min1) * alpha
-                for i in range(Dc)
-            ]
+            for i in range(Dc):
+                c2v_ref[i * C_pad:(i + 1) * C_pad, :] = (
+                    total_sign * signs[i]
+                    * jnp.where(arg == float(i), min2, min1) * alpha)
 
-        c2v = jnp.concatenate(c2v_planes, axis=0)  # (E_pad, S)
-        # ---- variable update via MXU ----
-        totals = jnp.dot(M_ref[:], c2v, preferred_element_type=jnp.float32)
-        posterior = pvec_ref[:] + totals  # (V_pad, S)
-        back = jnp.dot(G_ref[:], posterior, preferred_element_type=jnp.float32)
-        v2c_new = back - c2v
-        # padded slots: G row is all-zero -> back 0, c2v garbage; restore +BIG
-        # via the mask encoded in the initial prior (+BIG marks padded slots)
-        v2c_new = jnp.where(prior_ref[:] >= _BIG * 0.5, _BIG, v2c_new)
-        return v2c_new, posterior
+        tot = pvec_ref[:] + jnp.dot(M_ref[:], c2v_ref[:],
+                                    preferred_element_type=jnp.float32)
+        post_ref[:] = tot
+        back = jnp.dot(G_ref[:], tot, preferred_element_type=jnp.float32)
+        # masked slots revert to +BIG so they stay neutral in the reductions
+        v2c_ref[:] = jnp.where(mask_ref[:] > 0, back - c2v_ref[:], _BIG)
+        return 0
 
-    def body(it, carry):
-        v2c, _post = carry
-        v2c, posterior = one_iter(it, v2c)
-        return (v2c, posterior)
-
-    post0 = jnp.zeros((hard_ref.shape[0], S), dtype=jnp.float32)
-    _v2c_final, posterior = jax.lax.fori_loop(
-        0, max_iter, body, (prior_ref[:], post0))
-    hard = (posterior <= 0.0).astype(jnp.float32)
+    jax.lax.fori_loop(0, max_iter, body, 0)
+    hard = (post_ref[:] <= 0.0).astype(jnp.float32)
     hard_ref[:] = hard
-    post_ref[:] = posterior
+    post_out_ref[:] = post_ref[:]
     # in-kernel syndrome check (mod 2 on integer-valued f32 counts)
     counts = jnp.dot(H_ref[:], hard, preferred_element_type=jnp.float32)
     par = counts - 2.0 * jnp.floor(counts * 0.5)
@@ -201,9 +195,11 @@ def _kernel(synd_ref, prior_ref, pvec_ref, M_ref, G_ref, H_ref,
 
 
 @partial(jax.jit, static_argnames=("tanner", "method", "max_iter",
-                                   "ms_scaling_factor", "shot_block"))
+                                   "ms_scaling_factor", "shot_block",
+                                   "interpret"))
 def bp_pallas_fixed(tanner: TannerELL, prior_llr, syndromes, method: str,
-                    max_iter: int, ms_scaling_factor, shot_block: int = 1024):
+                    max_iter: int, ms_scaling_factor, shot_block: int = 1024,
+                    interpret: bool = False):
     """Fixed-iteration batched BP, VMEM-resident Pallas kernel.
 
     syndromes: (C, S) uint8.  Returns (hard (V,S) uint8, posterior (V,S) f32,
@@ -214,6 +210,7 @@ def bp_pallas_fixed(tanner: TannerELL, prior_llr, syndromes, method: str,
     C, V = tanner.num_checks, tanner.num_vars
     Dc = tanner.max_check_degree
     C_pad, V_pad = ops["C_pad"], ops["V_pad"]
+    E_pad = Dc * C_pad
     Cn, S = syndromes.shape
     assert Cn == C
     S_pad = _round_up(S, shot_block)
@@ -221,23 +218,19 @@ def bp_pallas_fixed(tanner: TannerELL, prior_llr, syndromes, method: str,
     synd = jnp.zeros((C_pad, S_pad), jnp.float32)
     synd = synd.at[:C, :S].set(syndromes.astype(jnp.float32))
 
-    # initial v2c planes: prior of the slot's variable, +BIG on padded slots
     prior_np = jnp.asarray(prior_llr, jnp.float32)
-    vars_plane = jnp.asarray(ops["vars_plane"])  # (Dc, C_pad)
-    mask_plane = jnp.asarray(ops["mask_plane"])  # (Dc, C_pad)
-    init_plane = jnp.where(mask_plane > 0, prior_np[vars_plane], _BIG)
-    prior0 = jnp.broadcast_to(
-        init_plane.reshape(Dc * C_pad, 1), (Dc * C_pad, S_pad))
-
     pvec = jnp.zeros((V_pad,), jnp.float32).at[:V].set(prior_np)
     pvec = jnp.broadcast_to(pvec[:, None], (V_pad, S_pad))
+    mask_plane = jnp.asarray(ops["mask_plane"])  # (Dc, C_pad)
+    init_plane = jnp.where(mask_plane > 0,
+                           prior_np[jnp.asarray(ops["vars_plane"])], _BIG)
+    prior_pl = jnp.broadcast_to(init_plane.reshape(E_pad, 1), (E_pad, S_pad))
+    maskE = jnp.broadcast_to(mask_plane.reshape(E_pad, 1), (E_pad, S_pad))
 
     adaptive = float(ms_scaling_factor) == 0.0
-    alpha0 = float(ms_scaling_factor)
-
-    kernel = partial(
-        _kernel, Dc=Dc, method=method, max_iter=max_iter,
-        alpha0=alpha0, adaptive=adaptive)
+    kernel = partial(_kernel, Dc=Dc, C_pad=C_pad, method=method,
+                     max_iter=max_iter, alpha0=float(ms_scaling_factor),
+                     adaptive=adaptive)
 
     grid = (S_pad // shot_block,)
     blk = lambda r: pl.BlockSpec(  # noqa: E731 — operand block over shots
@@ -249,12 +242,13 @@ def bp_pallas_fixed(tanner: TannerELL, prior_llr, syndromes, method: str,
         kernel,
         grid=grid,
         in_specs=[
-            blk(C_pad),                                   # syndromes
-            blk(Dc * C_pad),                              # prior planes
-            blk(V_pad),                                   # prior vector
-            full((V_pad, Dc * C_pad)),                    # M
-            full((Dc * C_pad, V_pad)),                    # G
-            full((C_pad, V_pad)),                         # H
+            blk(C_pad),                 # syndromes
+            blk(V_pad),                 # prior vector
+            blk(E_pad),                 # prior planes
+            blk(E_pad),                 # slot mask
+            full((V_pad, E_pad)),       # M
+            full((E_pad, V_pad)),       # G
+            full((C_pad, V_pad)),       # H
         ],
         out_specs=[blk(V_pad), blk(V_pad), blk(8)],
         out_shape=[
@@ -262,8 +256,14 @@ def bp_pallas_fixed(tanner: TannerELL, prior_llr, syndromes, method: str,
             jax.ShapeDtypeStruct((V_pad, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
         ],
-    )(synd, prior0, pvec, jnp.asarray(ops["M"]), jnp.asarray(ops["G"]),
-      jnp.asarray(ops["H"]))
+        scratch_shapes=[
+            pltpu.VMEM((E_pad, shot_block), jnp.float32),  # v2c
+            pltpu.VMEM((E_pad, shot_block), jnp.float32),  # c2v
+            pltpu.VMEM((V_pad, shot_block), jnp.float32),  # posterior
+        ],
+        interpret=interpret,
+    )(synd, pvec, prior_pl, maskE, jnp.asarray(ops["M"]),
+      jnp.asarray(ops["G"]), jnp.asarray(ops["H"]))
 
     hard_out = hard[:V, :S].astype(jnp.uint8)
     post_out = post[:V, :S]
