@@ -1,0 +1,24 @@
+"""Decoding stack: batched BP (XLA + Pallas backends), relay-BP ensembles,
+OSD post-processing, spacetime/DEM matrix builders, and decode-mode drivers.
+"""
+from .bp import BPDecoder, bp_decode_batch, priors_to_llr
+from .bposd import BPOSDDecoder
+from .osd import osd_decode, osd_decode_batch
+from .relay_bp import RelayBPDecoder, relay_bp_decode_batch
+from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
+from .tanner import TannerELL
+
+__all__ = [
+    "BPDecoder",
+    "BPOSDDecoder",
+    "RelayBPDecoder",
+    "TannerELL",
+    "SpacetimeCode",
+    "SpacetimeCodeSingleShot",
+    "DetectorSpacetimeCode",
+    "bp_decode_batch",
+    "relay_bp_decode_batch",
+    "osd_decode",
+    "osd_decode_batch",
+    "priors_to_llr",
+]

@@ -29,6 +29,7 @@ __all__ = [
     "BPOSDHybridCorrect",
     "BPDetectorCorrect",
     "RelayBPCorrect",
+    "SlidingWindowCorrect",
     "run_simulation",
     "add_bposd_args",
     "unpack_bposd_args",
@@ -129,6 +130,27 @@ class BPOSDHybridCorrect:
         syndrome = (readout @ self._checks.T.toarray()) % 2
         final = self._bpd_final_round.decode_batch(syndrome)
         return (final + bp_corr) % 2
+
+
+@dataclass
+class SlidingWindowCorrect:
+    """Streaming overlapping-window decode (no reference counterpart — the
+    reference stubbed it at ``spacetime_code.py:95-96``).  ``window_size`` /
+    ``window_commit`` keys extend the bposd option dict."""
+
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        from .sliding_window import SlidingWindowDecoder
+
+        data_prior, meas_prior = priors
+        opts = dict(bp_osd_options)
+        window = int(opts.pop("window_size", 4))
+        commit = opts.pop("window_commit", None)
+        self._dec = SlidingWindowDecoder(
+            code.checks.z, data_prior, meas_prior, window=window,
+            commit=None if commit is None else int(commit), bp_options=opts)
+
+    def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
+        return self._dec.decode_batch(history, readout)
 
 
 @dataclass
@@ -233,6 +255,8 @@ def run_simulation(
         decoder = BPDetectorCorrect(dem, bp_osd_options)
     elif decoder_mode == "relay_bp":
         decoder = RelayBPCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+    elif decoder_mode == "sliding_window":
+        decoder = SlidingWindowCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
     else:
         raise RuntimeError("Unknown decoder operation mode")
 

@@ -144,9 +144,11 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
     parser.add_argument("--rounds", type=int, help="Number of rounds of syndrome extraction", default=1)
     parser.add_argument(
         "--decoder_mode",
-        choices=["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector", "relay_bp"],
+        choices=["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector",
+                 "relay_bp", "sliding_window"],
         help="Operate decoder in BP+OSD, BP+OSD (single shot), hybrid BP + (BP+OSD), "
-        "detector-model BP, or the OSD-free relay-BP ensemble",
+        "detector-model BP, the OSD-free relay-BP ensemble, or streaming "
+        "sliding-window BP+OSD",
         default="bposd",
     )
     parser.add_argument(

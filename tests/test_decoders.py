@@ -144,7 +144,7 @@ def test_dem_matches_sampler_rates(code225):
     assert np.median(rel) < 0.06
 
 
-@pytest.mark.parametrize("mode", ["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector", "relay_bp"])
+@pytest.mark.parametrize("mode", ["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector", "relay_bp", "sliding_window"])
 def test_run_simulation_modes(code225, mode):
     opts = {"max_iter": 40, "bp_method": "ps", "ms_scaling_factor": 0,
             "osd_method": "osd_cs", "osd_order": 4}
