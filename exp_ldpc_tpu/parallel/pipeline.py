@@ -54,6 +54,10 @@ class StorageDecodePipeline:
     bp_method: str = "ps"
     ms_scaling_factor: float = 0.0
     mesh: Optional[Mesh] = None
+    # fixed-iteration flooding by default: identical statistics at relevant
+    # iteration budgets, much cheaper XLA compile than the early-stop
+    # while_loop (which pays a per-iteration syndrome check)
+    early_stop: bool = False
 
     def __post_init__(self):
         code = self.code
@@ -79,12 +83,16 @@ class StorageDecodePipeline:
     def _device_step(self, key):
         """Single-shard step: key -> (failures, shots, bp_unconverged)."""
         S = self.shots_per_device
+        sample = build_record_sampler(self.parsed, S)
+        record = sample(key).astype(jnp.float32)  # (S, M)
+        return self._decode_records(record)
+
+    def _decode_records(self, record):
+        """Shared decode path: (S, M) record -> (failures, shots, unconv)."""
+        S = record.shape[0]
         rounds = self.rounds
         r = self.z_count
         mpr = self.x_count + self.z_count
-        sample = build_record_sampler(self.parsed, S)
-
-        record = sample(key).astype(jnp.float32)  # (S, M)
         # per-round z-check syndromes + final syndrome from transversal readout
         readout = record[:, mpr * rounds : mpr * rounds + self.num_data]
         if rounds > 0:
@@ -106,6 +114,7 @@ class StorageDecodePipeline:
             self.bp_method,
             self.max_iter,
             jnp.float32(self.ms_scaling_factor),
+            self.early_stop,
         )
         # final-round correction: mod-2 sum of the per-round data blocks
         n = self.num_data
@@ -158,3 +167,17 @@ class StorageDecodePipeline:
     def run(self, key):
         """key -> (logical_failures, total_shots, bp_unconverged_shots)."""
         return self._step(key)
+
+    def run_host_sampled(self, seed: int, shots: Optional[int] = None):
+        """Same decode program, records from the CPU oracle sampler.
+
+        Cross-validates the device Pauli-frame sampler end-to-end: decoder
+        and every downstream step are IDENTICAL to :meth:`run`, so any
+        statistical disagreement isolates to the samplers."""
+        from ..sampler.reference import FrameSampler
+
+        S = shots if shots is not None else self.shots_per_device
+        fs = FrameSampler(self.storage_sim.circuit, seed=seed)
+        record = jnp.asarray(fs.sample(S), dtype=jnp.float32)
+        f, s, u = jax.jit(self._decode_records)(record)
+        return int(f), int(s), int(u)

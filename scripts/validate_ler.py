@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Logical-error-rate validation sweep on real hardware.
+
+Runs the fused on-device Monte-Carlo pipeline (device Pauli-frame sampler +
+batched spacetime BP) for the flagship HGP-225 code across a p grid, and
+cross-checks one grid point against the independent host oracle chain (CPU
+Pauli-frame sampler + driver decode) within binomial error bars.
+
+Writes one JSON line per point; use --csv for the reference CSV schema.
+
+  python scripts/validate_ler.py --samples 100000
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def wilson_interval(k, n, z=2.0):
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=20000)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--p-grid", type=str, default="(1e-3,8e-3,5)")
+    ap.add_argument("--max-iter", type=int, default=48)
+    ap.add_argument("--crosscheck-samples", type=int, default=2000)
+    ap.add_argument("--skip-crosscheck", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+    from exp_ldpc_tpu.codes.hgp import biregular_hgp
+    from exp_ldpc_tpu.experiments.p_sweep import parse_sweep_spec
+    from exp_ldpc_tpu.parallel.pipeline import StorageDecodePipeline
+
+    lo, hi, pts = parse_sweep_spec(args.p_grid)
+    p_grid = np.geomspace(lo, hi, pts)
+
+    code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
+    results = []
+    for i, p in enumerate(p_grid):
+        pipe = StorageDecodePipeline(
+            code=code, rounds=args.rounds, noise_model=depolarizing_noise(p, p),
+            data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+            shots_per_device=args.samples, max_iter=args.max_iter,
+            bp_method="ms", ms_scaling_factor=0.625)
+        t0 = time.perf_counter()
+        fails, shots, unconv = pipe.run(jax.random.PRNGKey(100 + i))
+        dt = time.perf_counter() - t0
+        low, high = wilson_interval(fails, shots)
+        rec = {
+            "p_ph": float(p), "failures": fails, "samples": shots,
+            "ler": fails / shots, "ler_ci_low": low, "ler_ci_high": high,
+            "bp_unconverged": unconv, "walltime": dt,
+        }
+        results.append(rec)
+        print(json.dumps(rec, default=float), flush=True)
+
+    # monotonicity sanity: LER should rise with p (within CI overlap)
+    lers = [r["ler"] for r in results]
+    if not all(lers[i] <= results[i + 1]["ler_ci_high"] + 1e-12
+               for i in range(len(lers) - 1)):
+        print("WARNING: LER not monotone within CI", file=sys.stderr)
+
+    if not args.skip_crosscheck:
+        # identical decode program, records from the independent CPU oracle
+        # sampler: any statistical gap isolates to the samplers
+        p = float(p_grid[-1])
+        n = args.crosscheck_samples
+        pipe = StorageDecodePipeline(
+            code=code, rounds=args.rounds, noise_model=depolarizing_noise(p, p),
+            data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+            shots_per_device=n, max_iter=args.max_iter,
+            bp_method="ms", ms_scaling_factor=0.625)
+        fails_host, n, _u = pipe.run_host_sampled(seed=999, shots=n)
+        dev = results[-1]
+        # pooled two-proportion z-test at 2 sigma
+        f1, n1 = dev["failures"], dev["samples"]
+        pool = (f1 + fails_host) / (n1 + n)
+        sigma = np.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n))
+        gap = abs(f1 / n1 - fails_host / n)
+        rec = {"crosscheck_p": p, "host_failures": fails_host,
+               "host_samples": n, "gap": gap, "two_sigma": 2 * sigma,
+               "agree": bool(gap <= 2 * sigma)}
+        print(json.dumps(rec, default=float), flush=True)
+        if not rec["agree"]:
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

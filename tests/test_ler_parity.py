@@ -32,11 +32,32 @@ def _binomial_2sigma_gap(f1, n1, f2, n2):
     return abs(r1 - r2) - 2 * sigma
 
 
-def test_pipeline_matches_host_chain(small_code):
-    """On-device pipeline LER == host-chain (CPU sampler) LER within 2 sigma.
+def test_device_sampler_matches_oracle_sampler_ler(small_code):
+    """Identical decode program fed by the device sampler vs the CPU oracle
+    sampler: LERs must agree within 2 sigma (isolates the samplers)."""
+    import jax
 
-    Uses plain BP on the spacetime matrix in both paths (the pipeline's
-    device-resident mode); p is high enough that failures are plentiful."""
+    p = 0.02
+    rounds = 2
+    shots = 512
+
+    pipe = StorageDecodePipeline(
+        code=small_code, rounds=rounds, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=shots, max_iter=24, bp_method="ms",
+        ms_scaling_factor=0.625)
+    fail_dev, n_dev, _unconv = pipe.run(jax.random.PRNGKey(7))
+    fail_host, n_host, _u = pipe.run_host_sampled(seed=11)
+
+    assert fail_dev > 0 and fail_host > 0  # p chosen to produce failures
+    gap = _binomial_2sigma_gap(fail_dev, n_dev, fail_host, n_host)
+    assert gap < 0, (fail_dev, n_dev, fail_host, n_host, gap)
+
+
+def test_pipeline_vs_driver_host_chain(small_code):
+    """Full independent host chain (CPU sampler + driver decode with final
+    OSD cleanup) should be at least as accurate as plain spacetime BP and in
+    the same statistical ballpark."""
     import jax
 
     p = 0.02
@@ -61,9 +82,9 @@ def test_pipeline_matches_host_chain(small_code):
         decoder_mode="bposd_hybrid", seed=11, use_device_sampler=False)
     fail_host = int(np.asarray(fails).sum())
 
-    assert fail_dev > 0 and fail_host > 0  # p chosen to produce failures
-    gap = _binomial_2sigma_gap(fail_dev, n_dev, fail_host, shots)
-    assert gap < 0, (fail_dev, n_dev, fail_host, shots, gap)
+    assert fail_dev > 0
+    # the OSD-cleaned chain may beat plain BP but must not be wildly off
+    assert fail_host <= fail_dev + 3 * np.sqrt(fail_dev)
 
 
 def test_sharded_bp_decodes_spacetime_matrix(small_code):
