@@ -141,6 +141,23 @@ def _build_dense_ops(tanner: TannerELL):
     return M, G, Hd, chk_mask  # numpy: traced-constant conversion at use site
 
 
+@lru_cache(maxsize=32)
+def dense_ops_device(tanner: TannerELL):
+    """(M, G, Hd) as device arrays, for passing to ``_bp_core`` as ARGS.
+
+    Multi-MB operands embedded as HLO constants make remote compiles
+    pathologically slow; threading them as runtime arguments keeps the
+    program small and lets repeated decodes reuse the same device buffers."""
+    M, G, Hd, _ = _build_dense_ops(tanner)
+    return jax.device_put(M), jax.device_put(G), jax.device_put(Hd)
+
+
+def resolve_use_matmul(tanner: TannerELL, formulation: str) -> bool:
+    if formulation == "auto":
+        return _dense_ops_bytes(tanner) <= _DENSE_OPS_LIMIT
+    return formulation == "matmul"
+
+
 def _syndrome_of(hard, tanner: TannerELL):
     """H @ hard mod 2 as (C, S) int32, via the check-major var gather."""
     bits = hard[tanner.chk_vars]  # (C, Dc, S)
@@ -149,7 +166,7 @@ def _syndrome_of(hard, tanner: TannerELL):
 
 
 @partial(jax.jit, static_argnames=("tanner", "method", "max_iter", "early_stop", "formulation"))
-def _bp_core(tanner: TannerELL, prior_llr, syndromes, method: str, max_iter: int, ms_scaling_factor, early_stop: bool = True, formulation: str = "auto"):
+def _bp_core(tanner: TannerELL, prior_llr, syndromes, method: str, max_iter: int, ms_scaling_factor, early_stop: bool = True, formulation: str = "auto", dense_ops=None):
     """syndromes: (C, S) uint8.  Returns (hard (V,S) uint8, posterior (V,S),
     converged (S,) bool, iters (S,) int32)."""
     C, S = syndromes.shape
@@ -161,7 +178,14 @@ def _bp_core(tanner: TannerELL, prior_llr, syndromes, method: str, max_iter: int
     else:
         use_matmul = formulation == "matmul"
     if use_matmul:
-        M, G, Hd, mask = _build_dense_ops(tanner)
+        if dense_ops is not None:
+            # traced args: keeps multi-MB one-hot operands OUT of the HLO
+            # constant pool (embedded constants bloat compiles badly on
+            # remote-compile backends)
+            M, G, Hd = dense_ops
+            mask = _build_dense_ops(tanner)[3]
+        else:
+            M, G, Hd, mask = _build_dense_ops(tanner)
         mask3 = mask[:, :, None]
 
     # init v2c with priors per edge, check-major; padded slots neutral (+BIG)
@@ -309,6 +333,8 @@ class BPDecoder:
             jnp.float32(self.ms_scaling_factor),
             self.early_stop,
             self.formulation,
+            dense_ops_device(self.tanner)
+            if resolve_use_matmul(self.tanner, self.formulation) else None,
         )
         return hard.T, post.T, conv, iters
 

@@ -35,12 +35,12 @@ import numpy as np
 
 from .bp import (
     _BIG,
-    _DENSE_OPS_LIMIT,
     _build_dense_ops,
     _check_update_cm,
-    _dense_ops_bytes,
     _gather_flat,
+    dense_ops_device,
     priors_to_llr,
+    resolve_use_matmul,
 )
 from .tanner import TannerELL
 
@@ -51,7 +51,7 @@ __all__ = ["RelayBPDecoder", "relay_bp_decode_batch"]
                                    "iters_per_leg", "formulation"))
 def _relay_core(tanner: TannerELL, prior_llr, syndromes, gammas, method: str,
                 num_legs: int, iters_per_leg: int, ms_scaling_factor,
-                formulation: str = "auto"):
+                formulation: str = "auto", dense_ops=None):
     """syndromes: (C, S) uint8; gammas: (num_legs, V) f32 memory strengths.
 
     Returns (hard (V,S) uint8, posterior (V,S) f32, converged (S,) bool,
@@ -62,13 +62,14 @@ def _relay_core(tanner: TannerELL, prior_llr, syndromes, gammas, method: str,
     Dc = tanner.max_check_degree
     synd_sign = 1.0 - 2.0 * syndromes.astype(jnp.float32)
 
-    if formulation == "auto":
-        use_matmul = _dense_ops_bytes(tanner) <= _DENSE_OPS_LIMIT
-    else:
-        use_matmul = formulation == "matmul"
+    use_matmul = resolve_use_matmul(tanner, formulation)
     if use_matmul:
-        M, G, Hd, mask = _build_dense_ops(tanner)
-        M, G, Hd = jnp.asarray(M), jnp.asarray(G), jnp.asarray(Hd)
+        if dense_ops is not None:
+            M, G, Hd = dense_ops  # traced args: no giant HLO constants
+            mask = _build_dense_ops(tanner)[3]
+        else:
+            M, G, Hd, mask = _build_dense_ops(tanner)
+            M, G, Hd = jnp.asarray(M), jnp.asarray(G), jnp.asarray(Hd)
         mask3 = jnp.asarray(mask)[:, :, None]
     chk_vars = jnp.asarray(tanner.chk_vars)
 
@@ -210,6 +211,8 @@ class RelayBPDecoder:
             self.iters_per_leg,
             jnp.float32(self.ms_scaling_factor),
             self.formulation,
+            dense_ops_device(self.tanner)
+            if resolve_use_matmul(self.tanner, self.formulation) else None,
         )
         return hard.T, post.T, conv, leg
 

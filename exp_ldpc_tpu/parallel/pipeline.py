@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..circuits.ir import ParsedCircuit, parse_circuit
 from ..circuits.storage_sim import build_storage_simulation
 from ..core import QuantumCode
-from ..decoders.bp import _bp_core, priors_to_llr
+from ..decoders.bp import _bp_core, dense_ops_device, priors_to_llr, resolve_use_matmul
 from ..decoders.spacetime import SpacetimeCode
 from ..decoders.tanner import TannerELL
 from ..sampler.device import build_record_sampler
@@ -78,16 +78,23 @@ class StorageDecodePipeline:
         self._Hz = jnp.asarray(code.checks.z.toarray(), dtype=jnp.float32)  # (r, n)
         self._Lz = jnp.asarray(code.logicals.z, dtype=jnp.float32)  # (k, n)
 
+        # dense one-hot BP operands as runtime args (multi-MB HLO constants
+        # make remote compiles pathologically slow)
+        if resolve_use_matmul(self.tanner, "auto"):
+            self._dense_ops = dense_ops_device(self.tanner)
+        else:
+            self._dense_ops = None
+
         self._step = self._build()
 
-    def _device_step(self, key):
+    def _device_step(self, key, dense_ops):
         """Single-shard step: key -> (failures, shots, bp_unconverged)."""
         S = self.shots_per_device
         sample = build_record_sampler(self.parsed, S)
         record = sample(key).astype(jnp.float32)  # (S, M)
-        return self._decode_records(record)
+        return self._decode_records(record, dense_ops)
 
-    def _decode_records(self, record):
+    def _decode_records(self, record, dense_ops):
         """Shared decode path: (S, M) record -> (failures, shots, unconv)."""
         S = record.shape[0]
         rounds = self.rounds
@@ -115,6 +122,8 @@ class StorageDecodePipeline:
             self.max_iter,
             jnp.float32(self.ms_scaling_factor),
             self.early_stop,
+            "auto",
+            dense_ops,
         )
         # final-round correction: mod-2 sum of the per-round data blocks
         n = self.num_data
@@ -130,14 +139,15 @@ class StorageDecodePipeline:
         )
 
     def _build(self):
+        dense = self._dense_ops
         if self.mesh is None:
             step = jax.jit(self._device_step)
-            return lambda key: tuple(int(x) for x in step(key))
+            return lambda key: tuple(int(x) for x in step(key, dense))
 
         mesh = self.mesh
 
-        def sharded(keys):
-            f, s, u = self._device_step(keys[0])
+        def sharded(keys, dense_ops):
+            f, s, u = self._device_step(keys[0], dense_ops)
             f = jax.lax.psum(f, DATA_AXIS)
             s = jax.lax.psum(s, DATA_AXIS)
             u = jax.lax.psum(u, DATA_AXIS)
@@ -150,7 +160,7 @@ class StorageDecodePipeline:
         mapped = jax.shard_map(
             sharded,
             mesh=mesh,
-            in_specs=P(DATA_AXIS),
+            in_specs=(P(DATA_AXIS), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -159,7 +169,7 @@ class StorageDecodePipeline:
 
         def run(key):
             keys = jax.random.split(key, n_data)
-            f, s, u = jitted(keys)
+            f, s, u = jitted(keys, dense)
             return int(f), int(s), int(u)
 
         return run
@@ -179,5 +189,5 @@ class StorageDecodePipeline:
         S = shots if shots is not None else self.shots_per_device
         fs = FrameSampler(self.storage_sim.circuit, seed=seed)
         record = jnp.asarray(fs.sample(S), dtype=jnp.float32)
-        f, s, u = jax.jit(self._decode_records)(record)
+        f, s, u = jax.jit(self._decode_records)(record, self._dense_ops)
         return int(f), int(s), int(u)
