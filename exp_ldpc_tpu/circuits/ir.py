@@ -99,6 +99,32 @@ class ParsedCircuit:
         """The fully unrolled op stream (body repeated `repeat_count` times)."""
         return list(self.prologue) + self.repeat_count * list(self.body) + list(self.epilogue)
 
+    def structure_signature(self) -> tuple:
+        """Hashable signature of everything EXCEPT noise-probability values.
+
+        Two circuits with equal signatures (e.g. the same storage experiment
+        at different physical error rates) can share one compiled device
+        sampler, re-bound to a new :meth:`noise_args` vector at runtime."""
+        def block_sig(ops):
+            return tuple(
+                (op.name, op.arg is not None, op.targets.tobytes(), op.meas_offset)
+                for op in ops
+            )
+        return (
+            self.num_qubits, self.repeat_count,
+            block_sig(self.prologue), block_sig(self.body),
+            block_sig(self.epilogue),
+            tuple(map(tuple, self.detectors)), tuple(map(tuple, self.observables)),
+        )
+
+    def noise_args(self) -> np.ndarray:
+        """The probability arguments of all arg-carrying ops, in block order
+        (prologue, body, epilogue) — the runtime-rebindable part of the
+        circuit.  Index order matches the parametric device sampler."""
+        vals = [op.arg for ops in (self.prologue, self.body, self.epilogue)
+                for op in ops if op.arg is not None]
+        return np.asarray(vals, dtype=np.float32)
+
     def detector_matrix(self) -> sparse.csr_matrix:
         """(num_detectors, num_measurements) 0/1 matrix; detector bits are
         ``record @ D.T mod 2``."""

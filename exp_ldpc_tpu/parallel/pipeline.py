@@ -85,16 +85,21 @@ class StorageDecodePipeline:
         else:
             self._dense_ops = None
 
+        # runtime-rebindable parameters: noise probabilities + BP priors.
+        # One compile serves a whole p sweep (see rebind_noise)
+        self._noise_args = jnp.asarray(self.parsed.noise_args())
+        self._prior = jnp.asarray(self.prior_llr)
+
         self._step = self._build()
 
-    def _device_step(self, key, dense_ops):
+    def _device_step(self, key, dense_ops, noise_args, prior_llr):
         """Single-shard step: key -> (failures, shots, bp_unconverged)."""
         S = self.shots_per_device
-        sample = build_record_sampler(self.parsed, S)
-        record = sample(key).astype(jnp.float32)  # (S, M)
-        return self._decode_records(record, dense_ops)
+        sample = build_record_sampler(self.parsed, S, parametric=True)
+        record = sample(key, noise_args).astype(jnp.float32)  # (S, M)
+        return self._decode_records(record, dense_ops, prior_llr)
 
-    def _decode_records(self, record, dense_ops):
+    def _decode_records(self, record, dense_ops, prior_llr):
         """Shared decode path: (S, M) record -> (failures, shots, unconv)."""
         S = record.shape[0]
         rounds = self.rounds
@@ -116,7 +121,7 @@ class StorageDecodePipeline:
 
         hard, _post, conv, _iters = _bp_core(
             self.tanner,
-            jnp.asarray(self.prior_llr),
+            prior_llr,
             synd.T,
             self.bp_method,
             self.max_iter,
@@ -142,12 +147,13 @@ class StorageDecodePipeline:
         dense = self._dense_ops
         if self.mesh is None:
             step = jax.jit(self._device_step)
-            return lambda key: tuple(int(x) for x in step(key, dense))
+            return lambda key: tuple(
+                int(x) for x in step(key, dense, self._noise_args, self._prior))
 
         mesh = self.mesh
 
-        def sharded(keys, dense_ops):
-            f, s, u = self._device_step(keys[0], dense_ops)
+        def sharded(keys, dense_ops, noise_args, prior_llr):
+            f, s, u = self._device_step(keys[0], dense_ops, noise_args, prior_llr)
             f = jax.lax.psum(f, DATA_AXIS)
             s = jax.lax.psum(s, DATA_AXIS)
             u = jax.lax.psum(u, DATA_AXIS)
@@ -160,7 +166,7 @@ class StorageDecodePipeline:
         mapped = jax.shard_map(
             sharded,
             mesh=mesh,
-            in_specs=(P(DATA_AXIS), P()),
+            in_specs=(P(DATA_AXIS), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -169,7 +175,7 @@ class StorageDecodePipeline:
 
         def run(key):
             keys = jax.random.split(key, n_data)
-            f, s, u = jitted(keys, dense)
+            f, s, u = jitted(keys, dense, self._noise_args, self._prior)
             return int(f), int(s), int(u)
 
         return run
@@ -177,6 +183,28 @@ class StorageDecodePipeline:
     def run(self, key):
         """key -> (logical_failures, total_shots, bp_unconverged_shots)."""
         return self._step(key)
+
+    def rebind_noise(self, noise_model, data_prior: float, meas_prior: float):
+        """Re-bind the pipeline to a new noise model / priors WITHOUT
+        recompiling: only probability VALUES may change — the rewritten
+        circuit must have the same structure (same channels in the same
+        places), which holds across the p grid of a sweep."""
+        sim = build_storage_simulation(
+            self.rounds, noise_model, self.code, use_x_logicals=False)
+        parsed = parse_circuit(sim.circuit)
+        if parsed.structure_signature() != self.parsed.structure_signature():
+            raise ValueError(
+                "rebind_noise: circuit structure changed; build a new pipeline")
+        self._noise_args = jnp.asarray(parsed.noise_args())
+        prior = np.zeros(self.spacetime.spacetime_check_matrix.shape[1])
+        prior[: self.spacetime._datablock_size] = data_prior
+        prior[self.spacetime._datablock_size:] = meas_prior
+        self.data_prior, self.meas_prior = data_prior, meas_prior
+        self.prior_llr = priors_to_llr(prior)
+        self._prior = jnp.asarray(self.prior_llr)
+        self.noise_model = noise_model
+        self.storage_sim = sim
+        return self
 
     def run_host_sampled(self, seed: int, shots: Optional[int] = None):
         """Same decode program, records from the CPU oracle sampler.
@@ -189,5 +217,5 @@ class StorageDecodePipeline:
         S = shots if shots is not None else self.shots_per_device
         fs = FrameSampler(self.storage_sim.circuit, seed=seed)
         record = jnp.asarray(fs.sample(S), dtype=jnp.float32)
-        f, s, u = jax.jit(self._decode_records)(record, self._dense_ops)
+        f, s, u = jax.jit(self._decode_records)(record, self._dense_ops, self._prior)
         return int(f), int(s), int(u)

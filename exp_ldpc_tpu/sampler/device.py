@@ -36,7 +36,11 @@ __all__ = ["DeviceSampler", "build_record_sampler"]
 
 
 def _apply_op(op_name, arg, targets, fx, fz, key):
-    """Apply one compiled op to frame planes (Q, S); returns (fx, fz, record_or_None)."""
+    """Apply one compiled op to frame planes (Q, S); returns (fx, fz, record_or_None).
+
+    ``arg`` may be a Python float OR a traced scalar (parametric noise —
+    probability values re-bound at runtime, structure fixed at trace time;
+    callers pass ``None`` for arg-less ops, which is a static property)."""
     S = fx.shape[1]
     t = targets
     rec = None
@@ -51,7 +55,7 @@ def _apply_op(op_name, arg, targets, fx, fz, key):
     elif op_name in ("MZ", "MRZ", "MX", "MRX"):
         plane = fx if op_name in ("MZ", "MRZ") else fz
         out = plane[t]
-        if arg:
+        if arg is not None:
             flips = jax.random.bernoulli(jax.random.fold_in(key, 2), arg, (t.size, S))
             out = out ^ flips.astype(jnp.uint8)
         rec = out
@@ -103,11 +107,21 @@ def _apply_op(op_name, arg, targets, fx, fz, key):
     return fx, fz, rec
 
 
-def _run_block(ops, fx, fz, record, key, rec_base):
-    """Apply a compiled op block; record writes land at rec_base + op.meas_offset."""
+def _run_block(ops, fx, fz, record, key, rec_base, args):
+    """Apply a compiled op block; record writes land at rec_base + op.meas_offset.
+
+    ``args``: per-op probability values aligned with the arg-carrying ops of
+    this block (traced scalars for the parametric sampler, floats otherwise).
+    """
+    ai = 0
     for i, op in enumerate(ops):
         op_key = jax.random.fold_in(key, i)
-        fx, fz, rec = _apply_op(op.name, op.arg, op.targets, fx, fz, op_key)
+        if op.arg is not None:
+            arg = args[ai]
+            ai += 1
+        else:
+            arg = None
+        fx, fz, rec = _apply_op(op.name, arg, op.targets, fx, fz, op_key)
         if rec is not None:
             record = jax.lax.dynamic_update_slice(
                 record, rec, (rec_base + op.meas_offset, jnp.int32(0))
@@ -115,8 +129,14 @@ def _run_block(ops, fx, fz, record, key, rec_base):
     return fx, fz, record
 
 
-def build_record_sampler(circuit: ParsedCircuit, shots: int):
-    """Pure function ``key -> (shots, M) uint8 record`` for a fixed circuit.
+def build_record_sampler(circuit: ParsedCircuit, shots: int, parametric: bool = False):
+    """Pure sampling function for a fixed circuit STRUCTURE.
+
+    ``parametric=False``: ``key -> (shots, M) uint8 record`` with noise
+    probabilities baked in.  ``parametric=True``: ``(key, noise_args) ->
+    record`` where ``noise_args`` is the runtime vector from
+    :meth:`ParsedCircuit.noise_args` — one compile serves every error rate
+    of a sweep (structure equality checked via ``structure_signature``).
 
     Unjitted so it composes under jit / shard_map (the distributed pipeline
     traces it per device shard)."""
@@ -125,20 +145,28 @@ def build_record_sampler(circuit: ParsedCircuit, shots: int):
     Q = c.num_qubits
     M = c.num_measurements
 
-    def sample(key):
+    def _block_args(ops, vec, base):
+        k = sum(1 for op in ops if op.arg is not None)
+        return [vec[base + j] for j in range(k)], base + k
+
+    def sample_impl(key, vec):
+        pro_args, off = _block_args(c.prologue, vec, 0)
+        body_args, off = _block_args(c.body, vec, off)
+        epi_args, _ = _block_args(c.epilogue, vec, off)
+
         fx = jnp.zeros((Q, S), dtype=jnp.uint8)
         fz = jnp.zeros((Q, S), dtype=jnp.uint8)
         record = jnp.zeros((M, S), dtype=jnp.uint8)
 
         k_pro, k_body, k_epi = jax.random.split(key, 3)
-        fx, fz, record = _run_block(c.prologue, fx, fz, record, k_pro, 0)
+        fx, fz, record = _run_block(c.prologue, fx, fz, record, k_pro, 0, pro_args)
 
         if c.repeat_count > 0 and c.body:
             def body_fn(carry, it):
                 fx, fz, record = carry
                 kb = jax.random.fold_in(k_body, it)
                 base = c.prologue_measurements + it * c.body_measurements
-                fx, fz, record = _run_block(c.body, fx, fz, record, kb, base)
+                fx, fz, record = _run_block(c.body, fx, fz, record, kb, base, body_args)
                 return (fx, fz, record), None
 
             (fx, fz, record), _ = jax.lax.scan(
@@ -146,10 +174,13 @@ def build_record_sampler(circuit: ParsedCircuit, shots: int):
             )
 
         epi_base = c.prologue_measurements + c.repeat_count * c.body_measurements
-        fx, fz, record = _run_block(c.epilogue, fx, fz, record, k_epi, epi_base)
+        fx, fz, record = _run_block(c.epilogue, fx, fz, record, k_epi, epi_base, epi_args)
         return record.T  # (S, M)
 
-    return sample
+    if parametric:
+        return sample_impl
+    baked = c.noise_args()
+    return lambda key: sample_impl(key, baked)
 
 
 class DeviceSampler:

@@ -50,12 +50,17 @@ def main():
 
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
     results = []
+    pipe = None
     for i, p in enumerate(p_grid):
-        pipe = StorageDecodePipeline(
-            code=code, rounds=args.rounds, noise_model=depolarizing_noise(p, p),
-            data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
-            shots_per_device=args.samples, max_iter=args.max_iter,
-            bp_method="ms", ms_scaling_factor=0.625)
+        if pipe is None:
+            pipe = StorageDecodePipeline(
+                code=code, rounds=args.rounds, noise_model=depolarizing_noise(p, p),
+                data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+                shots_per_device=args.samples, max_iter=args.max_iter,
+                bp_method="ms", ms_scaling_factor=0.625)
+        else:
+            # one compile serves the whole grid: only probability values change
+            pipe.rebind_noise(depolarizing_noise(p, p), 2 / 3 * p, 2 / 3 * p)
         t0 = time.perf_counter()
         fails, shots, unconv = pipe.run(jax.random.PRNGKey(100 + i))
         dt = time.perf_counter() - t0
@@ -79,11 +84,7 @@ def main():
         # sampler: any statistical gap isolates to the samplers
         p = float(p_grid[-1])
         n = args.crosscheck_samples
-        pipe = StorageDecodePipeline(
-            code=code, rounds=args.rounds, noise_model=depolarizing_noise(p, p),
-            data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
-            shots_per_device=n, max_iter=args.max_iter,
-            bp_method="ms", ms_scaling_factor=0.625)
+        pipe.rebind_noise(depolarizing_noise(p, p), 2 / 3 * p, 2 / 3 * p)
         fails_host, n, _u = pipe.run_host_sampled(seed=999, shots=n)
         dev = results[-1]
         # pooled two-proportion z-test at 2 sigma
