@@ -183,8 +183,16 @@ def build_record_sampler(circuit: ParsedCircuit, shots: int, parametric: bool = 
     return lambda key: sample_impl(key, baked)
 
 
+# compiled parametric samplers shared across same-structure circuits (a p
+# sweep reuses ONE executable; probability values are runtime arguments)
+_sampler_cache: dict = {}
+
+
 class DeviceSampler:
-    """jit-compiled batch sampler for a fixed circuit and shot count."""
+    """jit-compiled batch sampler for a fixed circuit and shot count.
+
+    Same-structure circuits (e.g. one storage experiment across a noise
+    sweep) share the compiled executable via ``structure_signature``."""
 
     def __init__(self, circuit, shots: int):
         if not isinstance(circuit, ParsedCircuit):
@@ -194,14 +202,19 @@ class DeviceSampler:
         c = circuit
         self._det = jnp.asarray(c.detector_matrix().toarray().T, dtype=jnp.float32)
         self._obs = jnp.asarray(c.observable_matrix().toarray().T, dtype=jnp.float32)
-        self._sample = jax.jit(build_record_sampler(circuit, self.shots))
+        key = (c.structure_signature(), self.shots)
+        if key not in _sampler_cache:
+            _sampler_cache[key] = jax.jit(
+                build_record_sampler(c, self.shots, parametric=True))
+        self._sample_parametric = _sampler_cache[key]
+        self._noise_args = jnp.asarray(c.noise_args())
 
     def sample(self, key) -> jnp.ndarray:
         """uint8 (shots, num_measurements) measurement record."""
-        return self._sample(key)
+        return self._sample_parametric(key, self._noise_args)
 
     def sample_detectors(self, key, append_observables: bool = False) -> jnp.ndarray:
-        record = self._sample(key).astype(jnp.float32)
+        record = self.sample(key).astype(jnp.float32)
         det = jnp.mod(record @ self._det, 2.0).astype(jnp.uint8)
         if append_observables:
             obs = jnp.mod(record @ self._obs, 2.0).astype(jnp.uint8)
