@@ -21,6 +21,7 @@ from .codes.qc_lifted import qc_lifted_product_code
 from .codes.random_code import random_check_matrix
 from .codes.routing import grid_permutation_route, product_permutation_route
 from .core import (
+    GF2,
     CircuitTargets,
     NoiseRewriter,
     QuantumCode,
@@ -33,6 +34,7 @@ from .decoders.spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeC
 from . import code_examples, noise_model
 
 __all__ = [
+    "GF2",
     "build_storage_simulation",
     "build_perfect_circuit",
     "edge_color_bipartite",

@@ -17,6 +17,7 @@ import numpy as np
 from scipy import sparse
 
 __all__ = [
+    "GF2",
     "QuantumCodeChecks",
     "QuantumCodeLogicals",
     "QuantumCode",
@@ -27,6 +28,58 @@ __all__ = [
     "num_rows",
     "num_cols",
 ]
+
+
+class GF2(np.ndarray):
+    """Dense GF(2) array: a uint8 ndarray whose ring operations reduce mod 2.
+
+    Public-API parity with the reference's ``GF2 = galois.GF(2)``
+    (``/root/reference/python/qldpc/qecc_util.py:10``, re-exported at
+    ``__init__.py:9``).  Covers the operations reference code actually uses
+    on GF2 arrays — construction from 0/1 data, ``@`` (mod-2 matmul, e.g.
+    ``misc/_experiment.py:209``), ``+``/``-`` (XOR), ``*`` (AND), equality,
+    stacking — without the galois dependency.  For rank / null-space /
+    row-reduce use the bit-packed kernels in :mod:`exp_ldpc_tpu.utils.gf2`
+    (``np.linalg`` routines see a plain uint8 array and compute over the
+    reals, as they would with any integer ndarray).
+    """
+
+    def __new__(cls, data):
+        arr = np.asarray(data)
+        if arr.dtype == np.bool_:
+            arr = arr.astype(np.uint8)
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise TypeError("GF2 requires integral (or bool) input data")
+        return np.mod(arr, 2).astype(np.uint8).view(cls)
+
+    def _binary(self, other, op):
+        out = op(np.asarray(self, dtype=np.uint8), np.mod(np.asarray(other), 2).astype(np.uint8))
+        return np.mod(out, 2).astype(np.uint8).view(GF2)
+
+    def __add__(self, other):
+        return self._binary(other, np.bitwise_xor)
+
+    __radd__ = __add__
+    __sub__ = __add__
+    __rsub__ = __add__
+
+    def __neg__(self):
+        return self
+
+    def __mul__(self, other):
+        return self._binary(other, np.bitwise_and)
+
+    __rmul__ = __mul__
+
+    def __matmul__(self, other):
+        a = np.asarray(self, dtype=np.int64)
+        b = np.mod(np.asarray(other), 2).astype(np.int64)
+        return np.mod(a @ b, 2).astype(np.uint8).view(GF2)
+
+    def __rmatmul__(self, other):
+        a = np.mod(np.asarray(other), 2).astype(np.int64)
+        b = np.asarray(self, dtype=np.int64)
+        return np.mod(a @ b, 2).astype(np.uint8).view(GF2)
 
 
 def _check_integral(matrix) -> None:

@@ -50,6 +50,7 @@ def test_random_check_matrix():
 def test_public_api_surface():
     """Every name from the reference's public surface (SURVEY.md §2.2) resolves."""
     for name in [
+        "GF2",
         "build_storage_simulation", "edge_color_bipartite", "biregular_hgp",
         "random_biregular_graph", "remove_short_cycles", "qc_lifted_product_code",
         "lifted_product_code_pgl2", "lifted_product_code_cyclic", "read_quantum_code",
@@ -60,3 +61,30 @@ def test_public_api_surface():
     ]:
         assert hasattr(exp_ldpc_tpu, name), name
     from exp_ldpc_tpu.misc import p_sweep_main  # noqa: F401
+
+
+def test_gf2_array_type():
+    """GF2 dense arrays reduce mod 2 (parity with galois.GF(2) usage patterns:
+    reference qecc_util.py:10, misc/_experiment.py:209)."""
+    from exp_ldpc_tpu import GF2
+
+    a = GF2([[1, 0, 1], [0, 1, 1]])
+    assert a.dtype == np.uint8
+    # construction reduces mod 2
+    assert (GF2([2, 3, 4]) == np.array([0, 1, 0])).all()
+    # + / - are XOR, * is AND
+    b = GF2([[1, 1, 0], [0, 1, 0]])
+    assert ((a + b) == np.array([[0, 1, 1], [0, 0, 1]])).all()
+    assert ((a - b) == (a + b)).all()
+    assert ((a * b) == np.array([[1, 0, 0], [0, 1, 0]])).all()
+    # matmul reduces mod 2 and never overflows uint8
+    L = GF2(np.ones((1, 300), dtype=np.uint8))
+    x = GF2(np.ones(300, dtype=np.uint8))
+    assert (L @ x)[0] == 0  # 300 mod 2
+    assert ((np.ones(300, dtype=np.uint8) @ L.T) == (L @ x)).all()
+    # the reference's logical-failure idiom
+    readout = np.array([1, 0, 1, 1], dtype=np.uint8)
+    logicals = GF2([[1, 1, 0, 0], [0, 0, 1, 1]])
+    assert bool(np.any(logicals @ GF2(readout) != 0))
+    with pytest.raises(TypeError):
+        GF2(np.array([0.5, 1.0]))
