@@ -122,8 +122,56 @@ def osd_decode(H, syndrome, posterior_llr, osd_method="osd0", osd_order=7):
     return _solve_candidates(packed, pivots, order, syndrome, n, osd_method, osd_order, cost)
 
 
-def osd_decode_batch(H, syndromes, posterior_llrs, osd_method="osd0", osd_order=7):
-    """Apply :func:`osd_decode` over a batch (loop on host)."""
+_METHOD_ID = {"osd0": 0, "osd_e": 1, "osd_cs": 2}
+
+
+def _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order):
+    """Threaded C++ batch OSD (native/gf2_kernels.cpp::osd_batch), or None if
+    the native library is unavailable.  Bit-identical to the numpy path up to
+    floating-point tie-breaks in candidate scoring (measure-zero for real BP
+    posteriors; tests/test_decoders.py pins equality on random batches)."""
+    from .. import native
+    import ctypes
+
+    lib = native.get_gf2_lib()
+    if lib is None or not hasattr(lib, "osd_batch"):
+        return None
+    Hd = np.ascontiguousarray(sparse.csr_matrix(H).toarray().astype(np.uint8) % 2)
+    r, n = Hd.shape
+    synd = np.ascontiguousarray(np.asarray(syndromes, dtype=np.uint8) % 2)
+    llrs = np.ascontiguousarray(np.asarray(posterior_llrs, dtype=np.float64))
+    S = synd.shape[0]
+    assert synd.shape == (S, r) and llrs.shape == (S, n)
+    out = np.zeros((S, n), dtype=np.uint8)
+    rc = lib.osd_batch(
+        Hd.ctypes.data_as(ctypes.c_void_p), r, n,
+        synd.ctypes.data_as(ctypes.c_void_p),
+        llrs.ctypes.data_as(ctypes.c_void_p), S,
+        _METHOD_ID[osd_method], osd_order, 0,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def osd_decode_batch(H, syndromes, posterior_llrs, osd_method="osd0", osd_order=7,
+                     backend="auto"):
+    """OSD over a batch of shots.
+
+    ``backend="auto"`` uses the threaded C++ kernel when available (parallel
+    over shots — the reference decodes shots one at a time in a Python loop,
+    ``/root/reference/python/qldpc/misc/_experiment.py:199-209``) and falls
+    back to the per-shot numpy path; ``"numpy"`` forces the fallback.
+    """
+    if osd_method not in _METHOD_ID:
+        raise ValueError(f"unknown osd method {osd_method!r}")
+    if backend == "auto":
+        out = _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order)
+        if out is not None:
+            return out
+    elif backend != "numpy":
+        raise ValueError(f"unknown backend {backend!r}")
     out = np.zeros((syndromes.shape[0], H.shape[1]), dtype=np.uint8)
     for i in range(syndromes.shape[0]):
         out[i] = osd_decode(H, syndromes[i], posterior_llrs[i], osd_method, osd_order)

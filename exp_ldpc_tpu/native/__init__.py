@@ -48,6 +48,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.gf2_rank.argtypes = [
         ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
     ]
+    lib.osd_batch.restype = ctypes.c_longlong
+    lib.osd_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,  # H, r, n
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,    # syndromes, llrs, S
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,  # method, order, nthreads
+        ctypes.c_void_p,                                         # out
+    ]
     return lib
 
 

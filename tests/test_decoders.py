@@ -31,6 +31,45 @@ def test_osd_always_solves_syndrome():
             assert np.array_equal((H @ e) % 2, s), method
 
 
+def test_osd_native_batch_matches_numpy():
+    """The threaded C++ osd_batch kernel is output-identical to the per-shot
+    numpy path on random batches, for every method (skips quietly only the
+    native half if no compiler is available — the auto backend then IS the
+    numpy path and the assert still holds)."""
+    from exp_ldpc_tpu.decoders.osd import osd_decode_batch
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        r = int(rng.integers(5, 30))
+        n = int(rng.integers(10, 70))
+        S = 13
+        H = (rng.random((r, n)) < 0.25).astype(np.uint8)
+        errors = (rng.random((S, n)) < 0.1).astype(np.uint8)
+        synd = (errors @ H.T) % 2
+        llr = rng.normal(2.0, 1.5, size=(S, n))
+        # candidate scoring cost (same formula both backends use)
+        q = 1.0 / (1.0 + np.exp(np.clip(llr, -30, 30)))
+        q = np.clip(q, 1e-12, 1 - 1e-12)
+        cost = np.maximum(np.log((1 - q) / q), 1e-9)
+        for method in ["osd0", "osd_e", "osd_cs"]:
+            a = osd_decode_batch(H, synd, llr, method, 5, backend="numpy")
+            b = osd_decode_batch(H, synd, llr, method, 5, backend="auto")
+            assert ((a @ H.T) % 2 == synd).all(), (trial, method)
+            assert ((b @ H.T) % 2 == synd).all(), (trial, method)
+            # identical solutions except where two candidates tie exactly in
+            # cost (possible via the 1e-9 cost floor on negative-LLR bits);
+            # then both must be equally optimal
+            for s in range(S):
+                if not (a[s] == b[s]).all():
+                    ca = cost[s][a[s].astype(bool)].sum()
+                    cb = cost[s][b[s].astype(bool)].sum()
+                    assert abs(ca - cb) < 1e-9, (trial, method, s, ca, cb)
+    with pytest.raises(ValueError):
+        osd_decode_batch(H, synd, llr, "osd_bogus", 5)
+    with pytest.raises(ValueError):
+        osd_decode_batch(H, synd, llr, "osd0", 5, backend="bogus")
+
+
 def test_osd_higher_order_not_worse():
     """osd_e / osd_cs candidates include osd0's, so their cost is <= osd0's."""
     rng = np.random.default_rng(5)
