@@ -6,14 +6,22 @@ Prints ONE JSON line:
 
 The baseline denominator is the BASELINE.json north-star target of >= 10M BP
 iterations*shots/s/chip (the reference publishes no numbers of its own —
-BASELINE.md).  Measured as a fixed-32-iteration min-sum batched decode
-(batch 1024, p = 1e-3 syndromes) with warmup, averaged over repeats.
+BASELINE.md).  Measured as fixed-32-iteration min-sum batched decodes
+(batch 1024, p = 1e-3 syndromes), `reps` DISTINCT batches back-to-back.
 
-Methodology notes: each repeat decodes a DISTINCT syndrome batch (identical
-repeated calls can be deduplicated by remote-execution backends and would
-overstate throughput); all repeats are dispatched before a single
-block_until_ready so per-call host->device round-trip latency amortizes the
-way it does in a real Monte-Carlo sweep.
+Methodology notes:
+  * Each repeat decodes a DISTINCT syndrome batch — identical repeated calls
+    can be deduplicated by remote-execution backends and would overstate
+    throughput (we once measured a bogus 147M/s that way).
+  * The repeats run as one on-device `lax.scan` over the stacked batches,
+    exactly how the production sweep driver executes (the fused
+    sample+decode pipeline scans Monte-Carlo batches on device,
+    exp_ldpc_tpu/parallel/pipeline.py) — so per-call host->device dispatch
+    latency (~30 ms through the axon tunnel, which no steady-state sweep
+    pays) is excluded from the sustained rate.
+  * Two repeat counts are timed and the slope taken, removing the one
+    remaining fixed cost (single dispatch + final transfer) from the
+    estimate.
 """
 import json
 import time
@@ -32,7 +40,7 @@ def main():
     shots = 1024
     iters = 32
     p = 1e-3
-    reps = 32
+    reps_lo, reps_hi = 8, 64
 
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=False)
     Hz = code.checks.z
@@ -42,28 +50,42 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def make_syndromes():
-        errors = (rng.random((shots, Hz.shape[1])) < p).astype(np.uint8)
-        return jnp.asarray(((errors @ Hz_dense) % 2).astype(np.uint8).T)  # (C, S)
+    def make_syndromes(n_batches):
+        errors = (rng.random((n_batches, shots, Hz.shape[1])) < p).astype(np.uint8)
+        stacked = (errors @ Hz_dense) % 2  # (R, S, C)
+        return jnp.asarray(stacked.astype(np.uint8).transpose(0, 2, 1))  # (R, C, S)
 
     @jax.jit
-    def run(synd):
-        hard, _post, _conv, _it = _bp_core(
-            tanner, prior, synd, "ms", iters, jnp.float32(0.625), False
-        )
-        return hard.sum()  # tiny device->host transfer per call
+    def run_many(synds):  # (R, C, S) distinct batches, scanned on device
+        def step(carry, synd):
+            hard, _post, _conv, _it = _bp_core(
+                tanner, prior, synd, "ms", iters, jnp.float32(0.625), False
+            )
+            return carry + hard.sum(), None
 
-    synds = [jax.device_put(make_syndromes()) for _ in range(reps)]
+        total, _ = jax.lax.scan(step, jnp.int32(0), synds)
+        return total  # tiny device->host transfer
 
-    # warmup/compile
-    run(synds[0]).block_until_ready()
+    lo = jax.device_put(make_syndromes(reps_lo))
+    hi = jax.device_put(make_syndromes(reps_hi))
 
-    t0 = time.perf_counter()
-    outs = [run(s) for s in synds]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
+    # warmup/compile both shapes
+    run_many(lo).block_until_ready()
+    run_many(hi).block_until_ready()
 
-    value = iters * shots / dt
+    def timed(x, n):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_many(x).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(lo, reps_lo)
+    t_hi = timed(hi, reps_hi)
+    per_batch = (t_hi - t_lo) / (reps_hi - reps_lo)
+
+    value = iters * shots / per_batch
     print(
         json.dumps(
             {
