@@ -6,11 +6,13 @@ from .bposd import BPOSDDecoder
 from .osd import osd_decode, osd_decode_batch
 from .relay_bp import RelayBPDecoder, relay_bp_decode_batch
 from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
+from .spacetime_bp import SpacetimeBPDecoder
 from .tanner import TannerELL
 
 __all__ = [
     "BPDecoder",
     "BPOSDDecoder",
+    "SpacetimeBPDecoder",
     "RelayBPDecoder",
     "TannerELL",
     "SpacetimeCode",
