@@ -68,7 +68,8 @@ def _check_update_cm(v2c_cm, synd_sign, method: str, alpha):
     v2c_cm: (C, Dc, S) with padded slots = +BIG (sign +1, phi ~ 0, min-inert).
     Returns c2v in the same layout (padded slots hold garbage — never read:
     the vm gather only targets real slots or the pad row)."""
-    sign = jnp.where(v2c_cm < 0, -1.0, 1.0)
+    one = v2c_cm.dtype.type(1)  # dtype-preserving (bf16 messages stay bf16)
+    sign = jnp.where(v2c_cm < 0, -one, one)
     mag = jnp.abs(v2c_cm)
     total_sign = jnp.prod(sign, axis=1, keepdims=True) * synd_sign[:, None, :]
     ext_sign = total_sign * sign  # product of signs excluding self

@@ -54,7 +54,9 @@ __all__ = ["SpacetimeBPDecoder"]
 
 @partial(
     jax.jit,
-    static_argnames=("tanner", "num_rounds", "method", "max_iter", "early_stop", "formulation"),
+    static_argnames=(
+        "tanner", "num_rounds", "method", "max_iter", "early_stop", "formulation", "msg_dtype",
+    ),
 )
 def _stbp_core(
     tanner: TannerELL,
@@ -67,6 +69,7 @@ def _stbp_core(
     early_stop: bool = True,
     formulation: str = "auto",
     dense_ops=None,
+    msg_dtype: str = "float32",
 ):
     """Structured spacetime BP.
 
@@ -74,17 +77,24 @@ def _stbp_core(
     per-column LLRs in SpacetimeCode column order.  syndromes: (B*r, S) in
     SpacetimeCode row order.  Returns (hard (Vst, S) uint8, posterior
     (Vst, S), converged (S,) bool, iters (S,) int32).
+
+    msg_dtype "bfloat16" stores messages in bf16 (accumulations stay f32):
+    the spacetime check update is HBM-bandwidth-bound, so halving the
+    streamed bytes buys ~1.4x wall-clock (measured, scripts/
+    exp_bf16_messages.py) at the cost of bit-exactness with the f32 oracle —
+    statistically LER-neutral for min-sum (tests/test_spacetime_bp.py).
     """
     R = num_rounds
     B = R + 1
     r, n, Dc = tanner.num_checks, tanner.num_vars, tanner.max_check_degree
     S = syndromes.shape[1]
+    mdt = jnp.dtype(msg_dtype)
 
     data_llr = prior_llr_st[: B * n].reshape(B, n)  # (B, n)
     meas_llr = prior_llr_st[B * n :].reshape(R, r)  # (R, r)
 
     synd = syndromes.reshape(B, r, S)
-    synd_sign = 1.0 - 2.0 * synd.astype(jnp.float32)
+    synd_sign = (1.0 - 2.0 * synd.astype(jnp.float32)).astype(mdt)
 
     use_matmul = resolve_use_matmul(tanner, formulation)
     if use_matmul:
@@ -101,18 +111,18 @@ def _stbp_core(
     chk_vars = np.asarray(tanner.chk_vars)
     edge_prior = data_llr[:, chk_vars]  # (B, r, Dc) static gather
     edge_prior = jnp.where(jnp.asarray(tanner.chk_mask)[None], edge_prior, _BIG)
-    v2c_data0 = jnp.broadcast_to(edge_prior[..., None], (B, r, Dc, S))
-    v2c_mlo0 = jnp.broadcast_to(meas_llr[..., None], (R, r, S))
+    v2c_data0 = jnp.broadcast_to(edge_prior[..., None].astype(mdt), (B, r, Dc, S))
+    v2c_mlo0 = jnp.broadcast_to(meas_llr[..., None].astype(mdt), (R, r, S))
     v2c_mhi0 = v2c_mlo0
 
     adaptive = ms_scaling_factor == 0.0
-    big_slot = jnp.full((1, r, S), _BIG)
+    big_slot = jnp.full((1, r, S), _BIG, mdt)
 
     def step(it, msgs):
         v2c_data, v2c_mlo, v2c_mhi = msgs
         alpha = jnp.where(
             adaptive, 1.0 - 2.0 ** (-(it + 1).astype(jnp.float32)), ms_scaling_factor
-        )
+        ).astype(mdt)
         # check block b sees m_{b-1,c} (that var's hi-edge) and m_{b,c} (lo-edge)
         slot_prev = jnp.concatenate([big_slot, v2c_mhi], axis=0)  # (B, r, S)
         slot_next = jnp.concatenate([v2c_mlo, big_slot], axis=0)  # (B, r, S)
@@ -128,22 +138,27 @@ def _stbp_core(
         if use_matmul:
             flat = c2v_data.reshape(B, r * Dc, S)
             totals = jnp.einsum("vk,bks->bvs", M, flat, preferred_element_type=jnp.float32)
-            posterior_d = data_llr[:, :, None] + totals  # (B, n, S)
-            back = jnp.einsum("kv,bvs->bks", G, posterior_d, preferred_element_type=jnp.float32)
-            v2c_data_new = jnp.where(mask4, back.reshape(B, r, Dc, S) - c2v_data, _BIG)
+            posterior_d = data_llr[:, :, None] + totals  # (B, n, S) f32
+            back = jnp.einsum(
+                "kv,bvs->bks", G, posterior_d.astype(mdt),
+                preferred_element_type=jnp.float32,
+            )
+            v2c_data_new = jnp.where(
+                mask4, back.astype(mdt).reshape(B, r, Dc, S) - c2v_data, mdt.type(_BIG)
+            )
         else:
             c2v_vm = jax.vmap(lambda x: _gather_flat(x, tanner.vm_from_cm, 0.0))(c2v_data)
-            totals = jnp.sum(c2v_vm, axis=2)  # (B, n, S)
+            totals = jnp.sum(c2v_vm.astype(jnp.float32), axis=2)  # (B, n, S)
             posterior_d = data_llr[:, :, None] + totals
-            v2c_vm = posterior_d[:, :, None, :] - c2v_vm
-            v2c_data_new = jax.vmap(lambda x: _gather_flat(x, tanner.cm_from_vm, _BIG))(v2c_vm)
+            v2c_vm = (posterior_d[:, :, None, :] - c2v_vm.astype(jnp.float32)).astype(mdt)
+            v2c_data_new = jax.vmap(lambda x: _gather_flat(x, tanner.cm_from_vm, mdt.type(_BIG)))(v2c_vm)
 
         # measurement-variable update (degree 2, closed form)
-        c2m_lo = c2v_ext[:R, :, Dc + 1, :]  # from check (i, c)
-        c2m_hi = c2v_ext[1:, :, Dc, :]      # from check (i+1, c)
-        posterior_m = meas_llr[:, :, None] + c2m_lo + c2m_hi  # (R, r, S)
-        v2c_mlo_new = posterior_m - c2m_lo
-        v2c_mhi_new = posterior_m - c2m_hi
+        c2m_lo = c2v_ext[:R, :, Dc + 1, :].astype(jnp.float32)  # from check (i, c)
+        c2m_hi = c2v_ext[1:, :, Dc, :].astype(jnp.float32)      # from check (i+1, c)
+        posterior_m = meas_llr[:, :, None] + c2m_lo + c2m_hi  # (R, r, S) f32
+        v2c_mlo_new = (posterior_m - c2m_lo).astype(mdt)
+        v2c_mhi_new = (posterior_m - c2m_hi).astype(mdt)
 
         return (v2c_data_new, v2c_mlo_new, v2c_mhi_new), (posterior_d, posterior_m)
 
@@ -231,6 +246,7 @@ class SpacetimeBPDecoder:
     method: str = "ps"
     ms_scaling_factor: float = 0.0
     formulation: str = "auto"
+    msg_dtype: str = "float32"
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
@@ -250,6 +266,7 @@ class SpacetimeBPDecoder:
         bp_method: str = "ps",
         ms_scaling_factor: float = 0.0,
         formulation: str = "auto",
+        msg_dtype: str = "float32",
         **_ignored,
     ) -> "SpacetimeBPDecoder":
         """H is the BASE check matrix (r, n); priors are per spacetime column
@@ -276,6 +293,7 @@ class SpacetimeBPDecoder:
             method=bp_method,
             ms_scaling_factor=ms_scaling_factor,
             formulation=formulation,
+            msg_dtype=msg_dtype,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
@@ -298,6 +316,7 @@ class SpacetimeBPDecoder:
             True,
             self.formulation,
             dense_ops,
+            self.msg_dtype,
         )
         return (
             np.asarray(hard).T,

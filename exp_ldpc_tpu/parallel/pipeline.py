@@ -59,6 +59,9 @@ class StorageDecodePipeline:
     # iteration budgets, much cheaper XLA compile than the early-stop
     # while_loop (which pays a per-iteration syndrome check)
     early_stop: bool = False
+    # "bfloat16" halves message bytes in the bandwidth-bound spacetime check
+    # update (~1.4x wall-clock, statistically LER-neutral for min-sum)
+    msg_dtype: str = "float32"
 
     def __post_init__(self):
         code = self.code
@@ -134,6 +137,7 @@ class StorageDecodePipeline:
             self.early_stop,
             "auto",
             dense_ops,
+            self.msg_dtype,
         )
         # final-round correction: mod-2 sum of the per-round data blocks
         n = self.num_data

@@ -100,3 +100,28 @@ def test_bad_options_raise(small_code):
         SpacetimeBPDecoder.from_check_matrix(
             H, 2, channel_probs=np.full(3, 0.1)  # wrong length
         )
+
+
+def test_bf16_messages_statistically_equivalent(small_code):
+    """msg_dtype="bfloat16" halves message bandwidth; decodes must stay
+    statistically interchangeable with f32 (not bit-exact)."""
+    H = small_code.checks.z
+    r, n = H.shape
+    rounds = 2
+    st = SpacetimeCode(H, rounds)
+    Hst = st.spacetime_check_matrix.toarray()
+    rng = np.random.default_rng(11)
+    S = 256
+    errs = (rng.random((S, Hst.shape[1])) < 0.02).astype(np.uint8)
+    synd = (errs @ Hst.T) % 2
+    kw = dict(error_rate=0.015, max_iter=32, bp_method="ms", ms_scaling_factor=0.625)
+    f32 = SpacetimeBPDecoder.from_check_matrix(H, rounds, **kw)
+    b16 = SpacetimeBPDecoder.from_check_matrix(H, rounds, msg_dtype="bfloat16", **kw)
+    h1, _, c1, _ = f32.decode_batch(synd)
+    h2, _, c2, _ = b16.decode_batch(synd)
+    # converged bf16 shots satisfy the syndrome exactly
+    ok = ((h2 @ Hst.T) % 2 == synd).all(axis=1)
+    assert ok[c2].all()
+    # convergence and hard decisions agree on nearly every shot
+    assert (c1 == c2).mean() > 0.95
+    assert (h1 == h2).all(axis=1).mean() > 0.9
