@@ -18,6 +18,7 @@ from .codes.homological import homological_product
 from .codes.io import read_quantum_code, write_quantum_code
 from .codes.lifted import lifted_product_code_cyclic, lifted_product_code_pgl2
 from .codes.qc_lifted import qc_lifted_product_code
+from .codes.bivariate_bicycle import BB_CODES, bivariate_bicycle_code, gross_code
 from .codes.random_code import random_check_matrix
 from .codes.routing import grid_permutation_route, product_permutation_route
 from .core import (
@@ -49,6 +50,9 @@ __all__ = [
     "lifted_product_code_cyclic",
     "matrix_lifted_product_code",
     "random_check_matrix",
+    "bivariate_bicycle_code",
+    "gross_code",
+    "BB_CODES",
     "read_quantum_code",
     "write_quantum_code",
     "grid_permutation_route",
