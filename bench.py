@@ -73,7 +73,7 @@ def main():
     run_many(lo).block_until_ready()
     run_many(hi).block_until_ready()
 
-    def timed(x, n):
+    def timed(x):
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
@@ -81,8 +81,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo = timed(lo, reps_lo)
-    t_hi = timed(hi, reps_hi)
+    t_lo = timed(lo)
+    t_hi = timed(hi)
     per_batch = (t_hi - t_lo) / (reps_hi - reps_lo)
 
     value = iters * shots / per_batch

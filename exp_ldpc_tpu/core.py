@@ -81,6 +81,36 @@ class GF2(np.ndarray):
         b = np.asarray(self, dtype=np.int64)
         return np.mod(a @ b, 2).astype(np.uint8).view(GF2)
 
+    # ring ufuncs reduce mod 2 even through numpy's machinery (+=, np.add,
+    # np.matmul, np.add.reduce); everything else degrades to a PLAIN ndarray
+    # so non-field results never masquerade as GF2
+    _RING_UFUNCS = None  # filled below (class body can't see np yet on 3.9)
+
+    def __array_ufunc__(self, ufunc, method, *inputs, out=None, **kwargs):
+        ring = GF2._RING_UFUNCS
+        is_ring = (ufunc in ring and method == "__call__") or (
+            ufunc is np.add and method == "reduce"
+        )
+        if is_ring:
+            args = [np.mod(np.asarray(x, dtype=np.int64), 2) for x in inputs]
+            result = np.mod(getattr(ufunc, method)(*args, **kwargs), 2).astype(np.uint8)
+            if out:
+                o = out[0]
+                o[...] = result
+                return o
+            return result.view(GF2) if isinstance(result, np.ndarray) else GF2(result)
+        args = [np.asarray(x) if isinstance(x, GF2) else x for x in inputs]
+        if out:
+            kwargs["out"] = tuple(
+                np.asarray(o) if isinstance(o, GF2) else o for o in out
+            )
+        return getattr(ufunc, method)(*args, **kwargs)
+
+
+GF2._RING_UFUNCS = frozenset(
+    {np.add, np.subtract, np.multiply, np.matmul, np.negative, np.positive}
+)
+
 
 def _check_integral(matrix) -> None:
     # reference: qecc_util.py:12-17

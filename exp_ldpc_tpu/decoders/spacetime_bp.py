@@ -283,7 +283,7 @@ class SpacetimeBPDecoder:
         else:
             raise ValueError("need error_rate or channel_probs")
         tanner = TannerELL.from_check_matrix(H)
-        if max_iter == 0:
+        if max_iter <= 0:  # ldpc convention (matches BPDecoder): default = n
             max_iter = n_st
         return cls(
             tanner=tanner,

@@ -108,10 +108,14 @@ static void osd_one_shot(const uint8_t* H, long long r, long long n,
     const long long words = (n + 1 + 63) >> 6;
 
     // reliability order: ascending LLR, stable (ties keep lower index first,
-    // matching numpy argsort kind="stable")
+    // matching numpy argsort kind="stable"); NaNs sort last like numpy —
+    // a bare `<` would violate strict weak ordering (UB in stable_sort)
     for (long long j = 0; j < n; ++j) order[j] = j;
-    std::stable_sort(order, order + n,
-                     [llr](long long a, long long b) { return llr[a] < llr[b]; });
+    std::stable_sort(order, order + n, [llr](long long a, long long b) {
+        const bool na = std::isnan(llr[a]), nb = std::isnan(llr[b]);
+        if (na || nb) return nb && !na;
+        return llr[a] < llr[b];
+    });
 
     // augmented packed matrix rows = [H[:, order] | s]
     std::memset(packed, 0, sizeof(uint64_t) * r * words);
@@ -144,7 +148,10 @@ static void osd_one_shot(const uint8_t* H, long long r, long long n,
         if (q < 1e-12) q = 1e-12;
         if (q > 1.0 - 1e-12) q = 1.0 - 1e-12;
         double c = std::log((1.0 - q) / q);
-        cost_ord[j] = c > 1e-9 ? c : 1e-9;
+        // floor at 1e-9 but PROPAGATE NaN (numpy np.maximum semantics — the
+        // numpy oracle path keeps NaN costs, so candidate comparisons skip
+        // identically in both backends)
+        cost_ord[j] = (c > 1e-9 || std::isnan(c)) ? c : 1e-9;
     }
 
     const uint64_t syn_bit = 1ULL << (n & 63);

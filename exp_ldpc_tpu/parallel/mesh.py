@@ -33,18 +33,22 @@ def init_distributed(
     is the GLOBAL device list, so meshes built from it span the whole slice
     and the scalar ``psum`` failure reductions ride ICI within the slice.
     With no arguments, coordination parameters come from the environment /
-    TPU metadata (the standard ``jax.distributed.initialize()`` behavior).
-    A no-op when already initialized or when running single-process.
+    TPU metadata (the standard ``jax.distributed.initialize()`` behavior) and
+    failures degrade to single-process (the expected case outside a pod).
+    With EXPLICIT coordination arguments a failure other than
+    already-initialized re-raises — silently falling back would let every
+    host run the full workload and report duplicated results as one.
     """
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # already initialized (or single-process backend already created)
-        pass
+    except RuntimeError as e:
+        if explicit and "already" not in str(e).lower():
+            raise
     return jax.process_index()
 
 

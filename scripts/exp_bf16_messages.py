@@ -1,9 +1,12 @@
 """Experiment: message dtype (f32 vs bf16) in the structured spacetime BP.
 
-The spacetime check update is HBM-bandwidth-bound (elementwise passes over
-the (B, r, Dc+2, S) message tensor dominate; the per-round matmuls are small)
-— bf16 messages halve the streamed bytes.  Accumulations stay f32
-(preferred_element_type).  Fixed-32-iteration min-sum, slope-fit timing."""
+Drives the PRODUCTION kernel (`_stbp_core(msg_dtype=...)`) — the spacetime
+check update is HBM-bandwidth-bound, so bf16 messages halve the streamed
+bytes (~1.4x measured).  Fixed-32-iteration min-sum, distinct batches scanned
+on device, slope-fit timing (bench.py methodology).
+
+  ST_ROUNDS=16 python scripts/exp_bf16_messages.py
+"""
 import os
 import time
 
@@ -12,78 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from exp_ldpc_tpu.codes.hgp import biregular_hgp
-from exp_ldpc_tpu.decoders.bp import _build_dense_ops, priors_to_llr
+from exp_ldpc_tpu.decoders.bp import dense_ops_device, priors_to_llr
 from exp_ldpc_tpu.decoders.spacetime import SpacetimeCode
+from exp_ldpc_tpu.decoders.spacetime_bp import _stbp_core
 from exp_ldpc_tpu.decoders.tanner import TannerELL
 
 SHOTS, ITERS, P = 1024, 32, 1e-3
 ROUNDS = int(os.environ.get("ST_ROUNDS", 4))
-_BIG = 1e30
-
-
-def build(tanner, R, prior_llr_st, dtype):
-    B = R + 1
-    r, n, Dc = tanner.num_checks, tanner.num_vars, tanner.max_check_degree
-    M, G, Hd, mask = _build_dense_ops(tanner)
-    M = jax.device_put(M.astype(dtype))
-    G = jax.device_put(G.astype(dtype))
-    mask4 = jnp.asarray(mask)[None, :, :, None]
-    chk_vars = np.asarray(tanner.chk_vars)
-    data_llr = prior_llr_st[: B * n].reshape(B, n).astype(dtype)
-    meas_llr = prior_llr_st[B * n :].reshape(R, r).astype(dtype)
-
-    @jax.jit
-    def run_many(synds):  # (Rb, B*r, S)
-        def one(carry, synd):
-            S = synd.shape[1]
-            synd_sign = (1.0 - 2.0 * synd.astype(jnp.float32)).astype(dtype).reshape(B, r, S)
-            edge_prior = data_llr[:, chk_vars]
-            edge_prior = jnp.where(jnp.asarray(tanner.chk_mask)[None], edge_prior, dtype(_BIG))
-            v2c_data = jnp.broadcast_to(edge_prior[..., None], (B, r, Dc, SHOTS)).astype(dtype)
-            v2c_mlo = jnp.broadcast_to(meas_llr[..., None], (R, r, SHOTS)).astype(dtype)
-            v2c_mhi = v2c_mlo
-            big_slot = jnp.full((1, r, SHOTS), _BIG, dtype)
-
-            def step(it, msgs):
-                v2c_data, v2c_mlo, v2c_mhi = msgs
-                slot_prev = jnp.concatenate([big_slot, v2c_mhi], axis=0)
-                slot_next = jnp.concatenate([v2c_mlo, big_slot], axis=0)
-                ext = jnp.concatenate(
-                    [v2c_data, slot_prev[:, :, None, :], slot_next[:, :, None, :]], axis=2
-                )
-                sign = jnp.where(ext < 0, dtype(-1.0), dtype(1.0))
-                mag = jnp.abs(ext)
-                total_sign = jnp.prod(sign, axis=2, keepdims=True) * synd_sign[:, :, None, :]
-                ext_sign = total_sign * sign
-                min1 = jnp.min(mag, axis=2, keepdims=True)
-                is_min = (mag == min1) & (jnp.cumsum((mag == min1), axis=2) == 1)
-                mag2 = jnp.where(is_min, dtype(_BIG), mag)
-                min2 = jnp.min(mag2, axis=2, keepdims=True)
-                extv = jnp.where(is_min, min2, min1)
-                c2v_ext = ext_sign * extv * dtype(0.625)
-                c2v_data = c2v_ext[:, :, :Dc, :]
-                flat = c2v_data.reshape(B, r * Dc, SHOTS)
-                totals = jnp.einsum("vk,bks->bvs", M, flat, preferred_element_type=jnp.float32)
-                posterior_d = data_llr[:, :, None].astype(jnp.float32) + totals
-                back = jnp.einsum(
-                    "kv,bvs->bks", G, posterior_d.astype(dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                v2c_data_new = jnp.where(
-                    mask4, back.astype(dtype).reshape(B, r, Dc, SHOTS) - c2v_data, dtype(_BIG)
-                )
-                c2m_lo = c2v_ext[:R, :, Dc + 1, :]
-                c2m_hi = c2v_ext[1:, :, Dc, :]
-                posterior_m = meas_llr[:, :, None] + c2m_lo + c2m_hi
-                return (v2c_data_new, posterior_m - c2m_lo, posterior_m - c2m_hi)
-
-            v2c_data, _, _ = jax.lax.fori_loop(0, ITERS, step, (v2c_data, v2c_mlo, v2c_mhi))
-            return carry + (v2c_data[0, 0, 0] <= 0).sum(), None
-
-        tot, _ = jax.lax.scan(one, jnp.int32(0), synds)
-        return tot
-
-    return run_many
 
 
 def main():
@@ -93,6 +31,7 @@ def main():
     st = SpacetimeCode(H, ROUNDS)
     Hst = st.spacetime_check_matrix
     tanner = TannerELL.from_check_matrix(H)
+    ops = dense_ops_device(tanner)
     prior = np.concatenate([np.full((ROUNDS + 1) * n, P), np.full(ROUNDS * r, P)])
     prior_llr = jnp.asarray(priors_to_llr(prior))
     rng = np.random.default_rng(0)
@@ -104,20 +43,36 @@ def main():
     n_lo, n_hi = 2, 10
     lo, hi = jax.device_put(make(n_lo)), jax.device_put(make(n_hi))
 
-    for dtype in (jnp.float32, jnp.bfloat16):
-        f = build(tanner, ROUNDS, prior_llr, dtype)
-        f(lo).block_until_ready(); f(hi).block_until_ready()
-        tl = min(
-            (lambda t0: (f(lo).block_until_ready(), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(3)
+    for msg_dtype in ("float32", "bfloat16"):
+
+        @jax.jit
+        def run_many(synds, md=msg_dtype):
+            def one(carry, synd):
+                hard, _p, _c, _i = _stbp_core(
+                    tanner, ROUNDS, prior_llr, synd, "ms", ITERS,
+                    jnp.float32(0.625), False, "auto", ops, md,
+                )
+                return carry + hard.sum(), None
+
+            tot, _ = jax.lax.scan(one, jnp.int32(0), synds)
+            return tot
+
+        run_many(lo).block_until_ready()
+        run_many(hi).block_until_ready()
+
+        def timed(x):
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_many(x).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_batch = (timed(hi) - timed(lo)) / (n_hi - n_lo)
+        print(
+            f"R={ROUNDS} {msg_dtype:9s} {ITERS*SHOTS/per_batch/1e6:7.1f}M iter*shots/s "
+            f"({per_batch*1e3:.1f} ms/batch)"
         )
-        th = min(
-            (lambda t0: (f(hi).block_until_ready(), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(3)
-        )
-        per_batch = (th - tl) / (n_hi - n_lo)
-        print(f"R={ROUNDS} {jnp.dtype(dtype).name:9s} {ITERS*SHOTS/per_batch/1e6:7.1f}M iter*shots/s "
-              f"({per_batch*1e3:.1f} ms/batch)")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,15 @@ def test_osd_native_batch_matches_numpy():
                     ca = cost[s][a[s].astype(bool)].sum()
                     cb = cost[s][b[s].astype(bool)].sum()
                     assert abs(ca - cb) < 1e-9, (trial, method, s, ca, cb)
+    # NaN posteriors: numpy sorts NaNs last and propagates NaN costs;
+    # the C++ kernel must match (strict-weak-ordering-safe comparator)
+    llr_nan = llr.copy()
+    llr_nan[0, 1] = np.nan
+    llr_nan[3, 0] = np.nan
+    for method in ["osd0", "osd_e", "osd_cs"]:
+        a = osd_decode_batch(H, synd, llr_nan, method, 5, backend="numpy")
+        b = osd_decode_batch(H, synd, llr_nan, method, 5, backend="auto")
+        assert (a == b).all(), method
     with pytest.raises(ValueError):
         osd_decode_batch(H, synd, llr, "osd_bogus", 5)
     with pytest.raises(ValueError):

@@ -88,3 +88,23 @@ def test_gf2_array_type():
     assert bool(np.any(logicals @ GF2(readout) != 0))
     with pytest.raises(TypeError):
         GF2(np.array([0.5, 1.0]))
+
+
+def test_gf2_ufunc_protocol():
+    """Ring ufuncs reduce mod 2 through numpy's machinery (+=, np.add,
+    np.matmul, np.add.reduce); non-ring ufuncs degrade to plain ndarrays."""
+    from exp_ldpc_tpu import GF2
+
+    a = GF2([1, 1, 0])
+    a += GF2([1, 0, 0])
+    assert isinstance(a, GF2) and (np.asarray(a) == [0, 1, 0]).all()
+    s = np.add(GF2([1, 1, 1]), GF2([1, 1, 0]))
+    assert isinstance(s, GF2) and (np.asarray(s) == [0, 0, 1]).all()
+    m = np.matmul(GF2(np.ones((1, 300), dtype=np.uint8)), GF2(np.ones(300, dtype=np.uint8)))
+    assert isinstance(m, GF2) and m[0] == 0  # 300 mod 2, no uint8 overflow
+    red = np.add.reduce(GF2([1, 1, 1]))
+    assert int(red) == 1  # parity, not integer sum
+    eq = GF2([1, 0]) == GF2([1, 1])
+    assert eq.dtype == np.bool_ and not isinstance(eq, GF2)
+    ex = np.exp(GF2([1, 0]))
+    assert not isinstance(ex, GF2)  # non-ring result is a plain ndarray
