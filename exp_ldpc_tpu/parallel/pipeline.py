@@ -60,8 +60,14 @@ class StorageDecodePipeline:
     # while_loop (which pays a per-iteration syndrome check)
     early_stop: bool = False
     # "bfloat16" halves message bytes in the bandwidth-bound spacetime check
-    # update (~1.4x wall-clock, statistically LER-neutral for min-sum)
+    # update (~1.4x wall-clock, statistically LER-neutral for min-sum) — the
+    # XLA path's knob; the Pallas backend below supersedes it when it fits
     msg_dtype: str = "float32"
+    # "auto": use the VMEM-resident Pallas spacetime kernel on real TPU
+    # backends when it fits (measured 6.6x over the XLA path on 4-round
+    # HGP-225; f32, 100% hard-decision agreement); "xla" forces the XLA
+    # core; "pallas" forces the kernel (errors off-TPU)
+    bp_backend: str = "auto"
 
     def __post_init__(self):
         code = self.code
@@ -97,7 +103,27 @@ class StorageDecodePipeline:
         self._noise_args = jnp.asarray(self.parsed.noise_args())
         self._prior = jnp.asarray(self.prior_llr)
 
+        self._pallas = self._resolve_backend()
         self._step = self._build()
+
+    def _resolve_backend(self) -> bool:
+        from ..decoders.spacetime_bp_pallas import fits_stbp_pallas
+
+        if self.bp_backend == "xla":
+            return False
+        if self.early_stop:  # kernel is fixed-iteration only
+            if self.bp_backend == "pallas":
+                raise ValueError("bp_backend='pallas' requires early_stop=False")
+            return False
+        fits = fits_stbp_pallas(self.tanner, self.rounds, 128)
+        if self.bp_backend == "pallas":
+            if not fits:
+                raise ValueError("spacetime program too large for the Pallas kernel")
+            return True
+        # auto: real TPU only (the Mosaic kernel has no CPU lowering)
+        devices = self.mesh.devices.flat if self.mesh is not None else jax.devices()
+        on_tpu = all(d.platform == "tpu" for d in devices)
+        return fits and on_tpu
 
     def _device_step(self, key, dense_ops, noise_args, prior_llr):
         """Single-shard step: key -> (failures, shots, bp_unconverged)."""
@@ -126,19 +152,27 @@ class StorageDecodePipeline:
         )
         synd = synd.reshape(S, (rounds + 1) * r).astype(jnp.uint8)
 
-        hard, _post, conv, _iters = _stbp_core(
-            self.tanner,
-            rounds,
-            prior_llr,
-            synd.T,
-            self.bp_method,
-            self.max_iter,
-            jnp.float32(self.ms_scaling_factor),
-            self.early_stop,
-            "auto",
-            dense_ops,
-            self.msg_dtype,
-        )
+        if self._pallas:
+            from ..decoders.spacetime_bp_pallas import stbp_pallas_fixed
+
+            hard, _post, conv, _iters = stbp_pallas_fixed(
+                self.tanner, rounds, prior_llr, synd.T,
+                self.bp_method, self.max_iter, float(self.ms_scaling_factor),
+            )
+        else:
+            hard, _post, conv, _iters = _stbp_core(
+                self.tanner,
+                rounds,
+                prior_llr,
+                synd.T,
+                self.bp_method,
+                self.max_iter,
+                jnp.float32(self.ms_scaling_factor),
+                self.early_stop,
+                "auto",
+                dense_ops,
+                self.msg_dtype,
+            )
         # final-round correction: mod-2 sum of the per-round data blocks
         n = self.num_data
         data_blocks = hard.T[:, : (rounds + 1) * n].reshape(S, rounds + 1, n)

@@ -125,3 +125,50 @@ def test_bf16_messages_statistically_equivalent(small_code):
     # convergence and hard decisions agree on nearly every shot
     assert (c1 == c2).mean() > 0.95
     assert (h1 == h2).all(axis=1).mean() > 0.9
+
+
+@pytest.mark.parametrize("method,msf", [("ms", 0.625), ("ps", 0.0), ("ms", 0.0)])
+def test_pallas_kernel_matches_core(small_code, method, msf):
+    """The VMEM-resident Pallas spacetime kernel (interpret mode on CPU)
+    reproduces the XLA structured core's hard decisions and convergence."""
+    import jax.numpy as jnp
+
+    from exp_ldpc_tpu.decoders.bp import priors_to_llr
+    from exp_ldpc_tpu.decoders.spacetime_bp import _stbp_core
+    from exp_ldpc_tpu.decoders.spacetime_bp_pallas import stbp_pallas_fixed
+    from exp_ldpc_tpu.decoders.tanner import TannerELL
+
+    H = small_code.checks.z
+    r, n = H.shape
+    rounds = 2
+    st = SpacetimeCode(H, rounds)
+    Hst = st.spacetime_check_matrix
+    tanner = TannerELL.from_check_matrix(H)
+    prior = np.concatenate([np.full((rounds + 1) * n, 0.01), np.full(rounds * r, 0.005)])
+    prior_llr = jnp.asarray(priors_to_llr(prior))
+    rng = np.random.default_rng(5)
+    S = 160  # not a multiple of the 128 shot block: exercises padding
+    errs = (rng.random((S, Hst.shape[1])) < 0.02).astype(np.uint8)
+    synd = jnp.asarray(((errs @ Hst.T.toarray()) % 2).astype(np.uint8).T)
+    h1, _p1, c1, _ = _stbp_core(tanner, rounds, prior_llr, synd, method, 12,
+                                jnp.float32(msf), False, "matmul")
+    h2, _p2, c2, _ = stbp_pallas_fixed(tanner, rounds, prior_llr, synd, method, 12,
+                                       msf, shot_block=128, interpret=True)
+    assert (np.asarray(h1) == np.asarray(h2)).all()
+    assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
+def test_pipeline_backend_resolution(small_code):
+    """auto backend falls back to XLA off-TPU; explicit pallas off-TPU or
+    with early_stop raises."""
+    from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+    from exp_ldpc_tpu.parallel.pipeline import StorageDecodePipeline
+
+    import exp_ldpc_tpu.codes.hgp as hgp
+    code = hgp.biregular_hgp(6, 2, 3, seed=1, compute_logicals=True)
+    kw = dict(code=code, rounds=2, noise_model=depolarizing_noise(0.01, 0.01),
+              data_prior=0.007, meas_prior=0.007, shots_per_device=8, max_iter=4)
+    pipe = StorageDecodePipeline(**kw)
+    assert pipe._pallas is False  # CPU backend in tests
+    with pytest.raises(ValueError):
+        StorageDecodePipeline(bp_backend="pallas", early_stop=True, **kw)
