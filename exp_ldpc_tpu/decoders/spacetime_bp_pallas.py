@@ -53,7 +53,7 @@ def fits_stbp_pallas(tanner: TannerELL, num_rounds: int, shot_block: int = 128,
     P = Dc + 2
     operands = 4 * (2 * V_pad * E_pad + C_pad * V_pad)
     state = 4 * shot_block * (2 * P * B * C_pad + B * V_pad + B * C_pad)
-    inputs = 4 * shot_block * (B * C_pad + B * V_pad + P * B * C_pad)
+    inputs = 4 * shot_block * (B * C_pad + B * V_pad + B * C_pad + E_pad)
     return operands + state + inputs < vmem_budget_bytes
 
 
@@ -62,7 +62,7 @@ def _phi(x):
     return -jnp.log(jnp.tanh(x * 0.5))
 
 
-def _kernel(synd_ref, pvec_ref, prior_pl_ref, mprior_ref,
+def _kernel(synd_ref, pvec_ref, maskE_ref, mprior_ref,
             M_ref, G_ref, H_ref,
             postd_ref, postm_ref, conv_ref,
             v2c_ref, c2v_ref,
@@ -71,26 +71,43 @@ def _kernel(synd_ref, pvec_ref, prior_pl_ref, mprior_ref,
     """One shot-block, all iterations, state in VMEM.
 
     synd_ref (B*C_pad, S) f32 {0,1} block-major; pvec_ref (B*V_pad, S) data
-    priors; prior_pl_ref ((Dc+2)*B*C_pad, S) initial v2c planes (+BIG in
-    masked/boundary slots — doubles as the slot mask); mprior_ref
-    (B*C_pad, S) measurement priors (last block unused); M/G/H base-code
-    one-hot operands (plane layout, bp_pallas.build_operands).  Outputs:
-    postd (B*V_pad, S), postm (B*C_pad, S), conv (8, S) row 0.  Scratch:
-    v2c/c2v ((Dc+2)*B*C_pad, S).
+    priors; maskE_ref (Dc*C_pad, S) f32 data-slot mask (plane layout, same
+    for every block); mprior_ref (B*C_pad, S) measurement priors (last block
+    unused); M/G/H base-code one-hot operands (plane layout,
+    bp_pallas.build_operands).  Outputs: postd (B*V_pad, S), postm
+    (B*C_pad, S), conv (8, S) row 0.  Scratch: v2c/c2v ((Dc+2)*B*C_pad, S).
+    v2c is initialized IN-KERNEL: the per-edge data prior is exactly
+    G_i @ pvec_b (one-hot broadcast), so no (Dc+2)·B·C_pad prior input is
+    needed — the largest VMEM consumer in the previous formulation.
     """
     BC = B * C_pad
     P = Dc + 2
     R = B - 1
     synd_sign = 1.0 - 2.0 * synd_ref[:]
-    v2c_ref[:] = prior_pl_ref[:]
-    # +BIG marks padded data slots and boundary measurement slots alike
-    mask = prior_pl_ref[:] < (_BIG * 0.5)
 
     def plane(ref, i):
         return ref[i * BC:(i + 1) * BC, :]
 
     def blk(ref, i, b, rows):
         return ref[i * BC + b * rows:i * BC + (b + 1) * rows, :]
+
+    # ---- in-kernel init
+    for b in range(B):
+        pv = pvec_ref[b * V_pad:(b + 1) * V_pad, :]
+        for i in range(Dc):
+            Gi = G_ref[i * C_pad:(i + 1) * C_pad, :]
+            ep = jnp.dot(Gi, pv, preferred_element_type=jnp.float32)
+            rows = slice(i * BC + b * C_pad, i * BC + (b + 1) * C_pad)
+            v2c_ref[rows, :] = jnp.where(
+                maskE_ref[i * C_pad:(i + 1) * C_pad, :] > 0, ep, _BIG)
+    # measurement planes: plane Dc of block b <- m_{b-1}, plane Dc+1 <- m_b;
+    # boundary slots (plane Dc at b=0, plane Dc+1 at b=B-1) stay +BIG
+    v2c_ref[Dc * BC:Dc * BC + C_pad, :] = jnp.full_like(synd_sign[:C_pad, :], _BIG)
+    if R:
+        v2c_ref[Dc * BC + C_pad:(Dc + 1) * BC, :] = mprior_ref[: R * C_pad, :]
+        v2c_ref[(Dc + 1) * BC:(Dc + 1) * BC + R * C_pad, :] = mprior_ref[: R * C_pad, :]
+    v2c_ref[(Dc + 1) * BC + R * C_pad:P * BC, :] = jnp.full_like(
+        synd_sign[:C_pad, :], _BIG)
 
     def body(it, _):
         # ---- check update: unrolled plane reduction on (B*C_pad, S) tiles
@@ -141,7 +158,8 @@ def _kernel(synd_ref, pvec_ref, prior_pl_ref, mprior_ref,
                 back = jnp.dot(Gi, tot, preferred_element_type=jnp.float32)
                 rows = slice(i * BC + b * C_pad, i * BC + (b + 1) * C_pad)
                 v2c_ref[rows, :] = jnp.where(
-                    mask[rows, :], back - c2v_ref[rows, :], _BIG)
+                    maskE_ref[i * C_pad:(i + 1) * C_pad, :] > 0,
+                    back - c2v_ref[rows, :], _BIG)
 
         # ---- measurement-variable update (degree 2, closed form):
         # m_b couples check block b (its plane-(Dc+1) slot) with block b+1
@@ -225,18 +243,10 @@ def stbp_pallas_fixed(tanner: TannerELL, num_rounds: int, prior_llr_st,
         mp = mp.at[:R, :C].set(meas_llr)
     mprior = jnp.broadcast_to(mp.reshape(BC, 1), (BC, shot_block))
 
-    # initial v2c planes ((Dc+2)*B*C_pad,): data planes hold per-block edge
-    # priors (+BIG in padded slots); measurement planes hold the meas prior
-    # (+BIG at the boundaries).  +BIG doubles as the in-kernel slot mask.
-    ep = jnp.where(jnp.asarray(mask_plane)[None] > 0,
-                   data_llr[:, vars_plane], _BIG)  # (B, Dc, C_pad)
-    init = jnp.full((P, B, C_pad), _BIG, jnp.float32)
-    init = init.at[:Dc].set(jnp.transpose(ep, (1, 0, 2)))
-    if R:
-        mpad = jnp.full((R, C_pad), _BIG, jnp.float32).at[:, :C].set(meas_llr)
-        init = init.at[Dc, 1:, :].set(mpad)      # plane Dc of block b ← m_{b-1}
-        init = init.at[Dc + 1, :R, :].set(mpad)  # plane Dc+1 of block b ← m_b
-    prior_pl = jnp.broadcast_to(init.reshape(P * BC, 1), (P * BC, shot_block))
+    # data-slot mask (Dc*C_pad, shot_block), plane layout, block-invariant
+    E_pad = Dc * C_pad
+    maskE = jnp.broadcast_to(
+        jnp.asarray(mask_plane, jnp.float32).reshape(E_pad, 1), (E_pad, shot_block))
 
     adaptive = float(ms_scaling_factor) == 0.0
     kernel = partial(_kernel, Dc=Dc, B=B, C_pad=C_pad, V_pad=V_pad,
@@ -258,7 +268,7 @@ def stbp_pallas_fixed(tanner: TannerELL, num_rounds: int, prior_llr_st,
         in_specs=[
             blk(BC),              # syndromes
             const(B * V_pad),     # data priors
-            const(P * BC),        # initial planes / mask
+            const(E_pad),         # data-slot mask
             const(BC),            # measurement priors
             full((V_pad, E_pad)),  # M
             full((E_pad, V_pad)),  # G
@@ -275,7 +285,7 @@ def stbp_pallas_fixed(tanner: TannerELL, num_rounds: int, prior_llr_st,
             pltpu.VMEM((P * BC, shot_block), jnp.float32),  # c2v
         ],
         interpret=interpret,
-    )(synd, pvec, prior_pl, mprior, jnp.asarray(ops["M"]),
+    )(synd, pvec, maskE, mprior, jnp.asarray(ops["M"]),
       jnp.asarray(ops["G"]), jnp.asarray(ops["H"]))
 
     post_d = postd.reshape(B, V_pad, S_pad)[:, :V, :S].reshape(B * V, S)
