@@ -6,9 +6,10 @@ semantics with the CPU oracle in :mod:`exp_ldpc_tpu.sampler.reference` (see
 that module's docstring for the frame algebra).
 
 Design for the hardware/XLA:
-  * the shot axis is the vector axis: frames are (Q, S) uint8 bit planes, so
-    every gate layer is a row gather + XOR + row scatter over lanes, and the
-    whole circuit jits into one fused program;
+  * the shot axis is the vector axis: frames are (Q, S) uint8 bit planes, and
+    every gate/noise layer is SCATTER-FREE — a full-plane masked XOR with
+    gathered partners/draws (static row maps; XLA scatters serialize on TPU,
+    measured ~40x slow) — so the whole circuit jits into one fused program;
   * the structural REPEAT block from :class:`ParsedCircuit` lowers to
     ``lax.scan`` — compile time is independent of the round count and XLA
     double-buffers the measurement-record writes (``spacetime_code``'s rounds
@@ -23,7 +24,7 @@ The record layout matches the reference contract (rounds of
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -35,73 +36,124 @@ from ..circuits.ir import ParsedCircuit, parse_circuit
 __all__ = ["DeviceSampler", "build_record_sampler"]
 
 
+@lru_cache(maxsize=4096)
+def _row_maps(Q: int, t_bytes: bytes, n: int):
+    """Static (trace-time) helpers for scatter-free frame updates.
+
+    Returns (mask (Q,1) bool, inv (Q,) int32): mask marks target rows; inv
+    maps a target row to its position in the compact target list (0
+    elsewhere), so a compact (n, S) per-site draw expands to the full plane
+    with ONE gather — XLA scatters serialize on TPU (measured ~40x slow,
+    docs/DESIGN.md), so every frame update here is gather + masked XOR.
+    """
+    t = np.frombuffer(t_bytes, dtype=np.int64).astype(np.int64)
+    mask = np.zeros((Q, 1), dtype=bool)
+    mask[t, 0] = True
+    inv = np.zeros(Q, dtype=np.int32)
+    inv[t] = np.arange(n, dtype=np.int32) % max(n, 1)
+    return mask, inv
+
+
+def _expand(mask, inv, compact):
+    """Compact (n, S) rows -> full (Q, S) plane: gather + mask (no scatter)."""
+    return jnp.where(mask, compact[inv], jnp.uint8(0))
+
+
 def _apply_op(op_name, arg, targets, fx, fz, key):
     """Apply one compiled op to frame planes (Q, S); returns (fx, fz, record_or_None).
 
     ``arg`` may be a Python float OR a traced scalar (parametric noise —
     probability values re-bound at runtime, structure fixed at trace time;
-    callers pass ``None`` for arg-less ops, which is a static property)."""
-    S = fx.shape[1]
-    t = targets
+    callers pass ``None`` for arg-less ops, which is a static property).
+    Entirely SCATTER-FREE: target metadata is static, so every plane update
+    is a full-plane ``where`` with gathered compact draws/partners.
+    """
+    Q, S = fx.shape
+    t = np.asarray(targets, dtype=np.int64)
     rec = None
+
+    def maps(idx, n):
+        return _row_maps(Q, np.ascontiguousarray(idx, dtype=np.int64).tobytes(), n)
+
     if op_name in ("RZ", "RX", "MZ", "MX", "MRZ", "MRX"):
         rnd = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (t.size, S)).astype(jnp.uint8)
+        mask, inv = maps(t, t.size)
+        rnd_full = _expand(mask, inv, rnd)
     if op_name == "RZ":
-        fx = fx.at[t].set(0)
-        fz = fz.at[t].set(rnd)
+        fx = jnp.where(mask, jnp.uint8(0), fx)
+        fz = jnp.where(mask, rnd_full, fz)
     elif op_name == "RX":
-        fz = fz.at[t].set(0)
-        fx = fx.at[t].set(rnd)
+        fz = jnp.where(mask, jnp.uint8(0), fz)
+        fx = jnp.where(mask, rnd_full, fx)
     elif op_name in ("MZ", "MRZ", "MX", "MRX"):
         plane = fx if op_name in ("MZ", "MRZ") else fz
-        out = plane[t]
+        out = plane[t]  # gather only
         if arg is not None:
             flips = jax.random.bernoulli(jax.random.fold_in(key, 2), arg, (t.size, S))
             out = out ^ flips.astype(jnp.uint8)
         rec = out
         if op_name == "MRZ":
-            fx = fx.at[t].set(0)
+            fx = jnp.where(mask, jnp.uint8(0), fx)
         elif op_name == "MRX":
-            fz = fz.at[t].set(0)
+            fz = jnp.where(mask, jnp.uint8(0), fz)
         if op_name in ("MZ", "MRZ"):
-            fz = fz.at[t].set(rnd)
+            fz = jnp.where(mask, rnd_full, fz)
         else:
-            fx = fx.at[t].set(rnd)
+            fx = jnp.where(mask, rnd_full, fx)
     elif op_name == "CX":
         ctrl, tgt = t[0::2], t[1::2]
-        fx = fx.at[tgt].set(fx[tgt] ^ fx[ctrl])
-        fz = fz.at[ctrl].set(fz[ctrl] ^ fz[tgt])
+        # fx[tgt] ^= fx[ctrl]: gather the partner plane through a full-length
+        # source map (identity off-target), mask, XOR
+        mask_t, _ = maps(tgt, tgt.size)
+        src_x = np.arange(Q, dtype=np.int32)
+        src_x[tgt] = ctrl
+        fx = fx ^ jnp.where(mask_t, fx[src_x], jnp.uint8(0))
+        mask_c, _ = maps(ctrl, ctrl.size)
+        src_z = np.arange(Q, dtype=np.int32)
+        src_z[ctrl] = tgt
+        fz = fz ^ jnp.where(mask_c, fz[src_z], jnp.uint8(0))
     elif op_name == "CZ":
         a, b = t[0::2], t[1::2]
-        za = fz[a] ^ fx[b]
-        zb = fz[b] ^ fx[a]
-        fz = fz.at[a].set(za)
-        fz = fz.at[b].set(zb)
+        mask_ab, _ = maps(np.concatenate([a, b]), a.size + b.size)
+        src = np.arange(Q, dtype=np.int32)
+        src[a] = b
+        src[b] = a
+        fz = fz ^ jnp.where(mask_ab, fx[src], jnp.uint8(0))
     elif op_name == "DEPOLARIZE1":
         kk = jax.random.fold_in(key, 3)
         e = jax.random.bernoulli(kk, arg, (t.size, S)).astype(jnp.uint8)
         k = jax.random.randint(jax.random.fold_in(kk, 1), (t.size, S), 1, 4, dtype=jnp.uint8)
-        fx = fx.at[t].set(fx[t] ^ (e & (k & 1)))
-        fz = fz.at[t].set(fz[t] ^ (e & ((k >> 1) & 1)))
+        mask, inv = maps(t, t.size)
+        ex = _expand(mask, inv, e & (k & 1))
+        ez = _expand(mask, inv, e & ((k >> 1) & 1))
+        fx = fx ^ ex
+        fz = fz ^ ez
     elif op_name == "DEPOLARIZE2":
         a, b = t[0::2], t[1::2]
         kk = jax.random.fold_in(key, 4)
         e = jax.random.bernoulli(kk, arg, (a.size, S)).astype(jnp.uint8)
         k = jax.random.randint(jax.random.fold_in(kk, 1), (a.size, S), 1, 16, dtype=jnp.uint8)
-        fx = fx.at[a].set(fx[a] ^ (e & (k & 1)))
-        fz = fz.at[a].set(fz[a] ^ (e & ((k >> 1) & 1)))
-        fx = fx.at[b].set(fx[b] ^ (e & ((k >> 2) & 1)))
-        fz = fz.at[b].set(fz[b] ^ (e & ((k >> 3) & 1)))
+        # both members of pair i read draw i: inv maps a_i -> i AND b_i -> i
+        mask_a, inv_a = maps(a, a.size)
+        mask_b, inv_b = maps(b, b.size)
+        fx = fx ^ _expand(mask_a, inv_a, e & (k & 1)) \
+                ^ _expand(mask_b, inv_b, e & ((k >> 2) & 1))
+        fz = fz ^ _expand(mask_a, inv_a, e & ((k >> 1) & 1)) \
+                ^ _expand(mask_b, inv_b, e & ((k >> 3) & 1))
     elif op_name == "X_ERROR":
         e = jax.random.bernoulli(jax.random.fold_in(key, 5), arg, (t.size, S)).astype(jnp.uint8)
-        fx = fx.at[t].set(fx[t] ^ e)
+        mask, inv = maps(t, t.size)
+        fx = fx ^ _expand(mask, inv, e)
     elif op_name == "Z_ERROR":
         e = jax.random.bernoulli(jax.random.fold_in(key, 6), arg, (t.size, S)).astype(jnp.uint8)
-        fz = fz.at[t].set(fz[t] ^ e)
+        mask, inv = maps(t, t.size)
+        fz = fz ^ _expand(mask, inv, e)
     elif op_name == "Y_ERROR":
         e = jax.random.bernoulli(jax.random.fold_in(key, 7), arg, (t.size, S)).astype(jnp.uint8)
-        fx = fx.at[t].set(fx[t] ^ e)
-        fz = fz.at[t].set(fz[t] ^ e)
+        mask, inv = maps(t, t.size)
+        ef = _expand(mask, inv, e)
+        fx = fx ^ ef
+        fz = fz ^ ef
     else:  # pragma: no cover
         raise ValueError(f"unsupported op {op_name}")
     return fx, fz, rec
