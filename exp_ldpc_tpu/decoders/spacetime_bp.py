@@ -247,12 +247,33 @@ class SpacetimeBPDecoder:
     ms_scaling_factor: float = 0.0
     formulation: str = "auto"
     msg_dtype: str = "float32"
+    # per-shot early stop freezes each shot at first convergence (ldpc
+    # semantics); False = fixed-iteration flooding, which additionally
+    # unlocks the VMEM-resident Pallas kernel under backend="auto" on TPU
+    early_stop: bool = True
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
         if method is None:
             raise ValueError(f"unknown bp method {self.method!r}")
         object.__setattr__(self, "method", method)
+
+    def _use_pallas(self) -> bool:
+        from .spacetime_bp_pallas import fits_stbp_pallas
+
+        if self.backend == "xla" or self.early_stop:
+            if self.backend == "pallas" and self.early_stop:
+                raise ValueError("backend='pallas' requires early_stop=False")
+            return False
+        fits = fits_stbp_pallas(self.tanner, self.num_rounds, 128)
+        if self.backend == "pallas":
+            if not fits:
+                raise ValueError("spacetime program too large for the Pallas kernel")
+            return True
+        import jax as _jax
+
+        return fits and _jax.devices()[0].platform == "tpu"
 
     @classmethod
     def from_check_matrix(
@@ -267,6 +288,8 @@ class SpacetimeBPDecoder:
         ms_scaling_factor: float = 0.0,
         formulation: str = "auto",
         msg_dtype: str = "float32",
+        early_stop: bool = True,
+        backend: str = "auto",
         **_ignored,
     ) -> "SpacetimeBPDecoder":
         """H is the BASE check matrix (r, n); priors are per spacetime column
@@ -294,12 +317,24 @@ class SpacetimeBPDecoder:
             ms_scaling_factor=ms_scaling_factor,
             formulation=formulation,
             msg_dtype=msg_dtype,
+            early_stop=early_stop,
+            backend=backend,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
         """(S, (R+1)·r) syndromes -> (hard (S, Vst), posterior (S, Vst),
         converged (S,), iters (S,))."""
         syndromes = np.asarray(syndromes, dtype=np.uint8)
+        if self._use_pallas():
+            from .spacetime_bp_pallas import stbp_pallas_fixed
+
+            hard, post, conv, iters = stbp_pallas_fixed(
+                self.tanner, self.num_rounds, jnp.asarray(self.prior_llr),
+                jnp.asarray(syndromes.T), self.method, self.max_iter,
+                float(self.ms_scaling_factor),
+            )
+            return (np.asarray(hard).T, np.asarray(post).T,
+                    np.asarray(conv), np.asarray(iters))
         dense_ops = (
             dense_ops_device(self.tanner)
             if resolve_use_matmul(self.tanner, self.formulation)
@@ -313,7 +348,7 @@ class SpacetimeBPDecoder:
             self.method,
             self.max_iter,
             jnp.float32(self.ms_scaling_factor),
-            True,
+            self.early_stop,
             self.formulation,
             dense_ops,
             self.msg_dtype,

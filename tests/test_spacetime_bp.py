@@ -172,3 +172,26 @@ def test_pipeline_backend_resolution(small_code):
     assert pipe._pallas is False  # CPU backend in tests
     with pytest.raises(ValueError):
         StorageDecodePipeline(bp_backend="pallas", early_stop=True, **kw)
+
+
+def test_decoder_fixed_iteration_and_backend_options(small_code):
+    H = small_code.checks.z
+    r, n = H.shape
+    rounds = 2
+    st = SpacetimeCode(H, rounds)
+    Hst = st.spacetime_check_matrix.toarray()
+    rng = np.random.default_rng(9)
+    S = 32
+    errs = (rng.random((S, Hst.shape[1])) < 0.02).astype(np.uint8)
+    synd = (errs @ Hst.T) % 2
+    dec = SpacetimeBPDecoder.from_check_matrix(
+        H, rounds, error_rate=0.015, max_iter=24, bp_method="ms",
+        ms_scaling_factor=0.625, early_stop=False, backend="xla")
+    hard, _post, conv, iters = dec.decode_batch(synd)
+    assert (iters == 24).all()  # fixed-iteration mode
+    ok = ((hard @ Hst.T) % 2 == synd).all(axis=1)
+    assert (ok == conv).all()
+    with pytest.raises(ValueError):
+        SpacetimeBPDecoder.from_check_matrix(
+            H, rounds, error_rate=0.01, backend="pallas"  # needs early_stop=False
+        ).decode_batch(synd)
