@@ -3,6 +3,7 @@ OSD post-processing, spacetime/DEM matrix builders, and decode-mode drivers.
 """
 from .bp import BPDecoder, bp_decode_batch, priors_to_llr
 from .bposd import BPOSDDecoder
+from .flip import FlipDecoder, SmallSetFlipDecoder
 from .osd import osd_decode, osd_decode_batch
 from .relay_bp import RelayBPDecoder, relay_bp_decode_batch
 from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
@@ -12,6 +13,8 @@ from .tanner import TannerELL
 __all__ = [
     "BPDecoder",
     "BPOSDDecoder",
+    "FlipDecoder",
+    "SmallSetFlipDecoder",
     "SpacetimeBPDecoder",
     "RelayBPDecoder",
     "TannerELL",
