@@ -21,6 +21,7 @@ from .codes.qc_lifted import qc_lifted_product_code
 from .codes.bivariate_bicycle import BB_CODES, bivariate_bicycle_code, gross_code
 from .codes.random_code import random_check_matrix
 from .codes.routing import grid_permutation_route, product_permutation_route
+from .codes.surface import repetition_code_checks, surface_code, toric_code
 from .core import (
     GF2,
     CircuitTargets,
@@ -53,6 +54,9 @@ __all__ = [
     "bivariate_bicycle_code",
     "gross_code",
     "BB_CODES",
+    "toric_code",
+    "surface_code",
+    "repetition_code_checks",
     "read_quantum_code",
     "write_quantum_code",
     "grid_permutation_route",

@@ -58,6 +58,9 @@ def test_public_api_surface():
         "QuantumCode", "QuantumCodeChecks", "QuantumCodeLogicals", "CircuitTargets",
         "StorageSim", "SpacetimeCode", "SpacetimeCodeSingleShot", "DetectorSpacetimeCode",
         "noise_model", "code_examples", "lifted_product_code", "matrix_lifted_product_code",
+        # extensions beyond the reference surface
+        "toric_code", "surface_code", "repetition_code_checks",
+        "bivariate_bicycle_code", "gross_code",
     ]:
         assert hasattr(exp_ldpc_tpu, name), name
     from exp_ldpc_tpu.misc import p_sweep_main  # noqa: F401
