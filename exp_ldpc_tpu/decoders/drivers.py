@@ -30,6 +30,7 @@ __all__ = [
     "BPOSDHybridCorrect",
     "BPDetectorCorrect",
     "RelayBPCorrect",
+    "SSFCorrect",
     "SlidingWindowCorrect",
     "run_simulation",
     "add_bposd_args",
@@ -164,6 +165,57 @@ class SlidingWindowCorrect:
 
 
 @dataclass
+class SSFCorrect:
+    """Single-shot small-set-flip (no reference counterpart — the reference's
+    decoder inventory is BP/OSD only): per-round iterative (H|I) SSF with
+    accumulated correction, then a clean final-round SSF, following the
+    round-loop structure of ``BPOSDCorrectSingleShot`` (reference
+    ``misc/_experiment.py:12-60``).  The per-round flip search runs over the
+    zero-padded opposite-sector stabilizer generators (data-qubit subsets)
+    plus weight-1 generators for each measurement-error column, so syndrome
+    noise is corrected by the same greedy gain rule.  ``ssf_max_iter``
+    extends the option dict (0 = one flip per spacetime column)."""
+
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        from scipy import sparse
+
+        from .flip import SmallSetFlipDecoder
+
+        self._rounds = rounds
+        self._checks = code.checks.z
+        self._spacetime_code = SpacetimeCodeSingleShot(self._checks)
+        max_iter = int(dict(bp_osd_options).get("ssf_max_iter", 0) or 0)
+        r, n = self._checks.shape
+        gx = code.checks.x
+        gen_data = sparse.hstack(
+            [gx, sparse.csr_matrix((gx.shape[0], r), dtype=np.uint8)]
+        )
+        gen_meas = sparse.hstack(
+            [sparse.csr_matrix((r, n), dtype=np.uint8), sparse.identity(r, dtype=np.uint8)]
+        )
+        generators = sparse.vstack([gen_data, gen_meas]).tocsr()
+        self._dec_ss = SmallSetFlipDecoder.from_css(
+            self._spacetime_code.spacetime_check_matrix, generators, max_iter=max_iter
+        )
+        self._dec_final = SmallSetFlipDecoder.from_css(
+            self._checks, gx, max_iter=max_iter
+        )
+
+    def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
+        Hd = self._checks.toarray()
+        acc = np.zeros_like(readout, dtype=np.int64)
+        for t in range(self._rounds):
+            corr_syndrome = (acc @ Hd.T) % 2
+            syndrome = (corr_syndrome + history[:, t]) % 2
+            st_correction = self._dec_ss.decode_batch(syndrome)[0]
+            acc = (acc + self._spacetime_code.final_correction(st_correction)) % 2
+        readout = (acc + readout) % 2
+        syndrome = (readout @ Hd.T) % 2
+        final = self._dec_final.decode_batch(syndrome)[0]
+        return (final + acc) % 2
+
+
+@dataclass
 class RelayBPCorrect:
     """Relay (disordered-memory) BP ensemble on the full spacetime matrix —
     the fully-parallel OSD-free mode (PAPERS.md arXiv:2507.00254; no
@@ -265,6 +317,8 @@ def run_simulation(
         decoder = BPDetectorCorrect(dem, bp_osd_options)
     elif decoder_mode == "relay_bp":
         decoder = RelayBPCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+    elif decoder_mode == "ssf_single_shot":
+        decoder = SSFCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
     elif decoder_mode == "sliding_window":
         decoder = SlidingWindowCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
     else:

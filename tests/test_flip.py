@@ -111,6 +111,22 @@ def test_ssf_statistical_success_at_low_p(hgp_code):
     assert success.mean() > 0.9
 
 
+def test_ssf_single_shot_mode(hgp_code):
+    from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+    from exp_ldpc_tpu.decoders.drivers import run_simulation
+
+    p = 0.0005
+    fails = run_simulation(
+        samples=48, code=hgp_code,
+        meas_prior=lambda xs, zs: 2 / 3 * p, data_prior=lambda xs, zs: 2 / 3 * p,
+        noise_model=depolarizing_noise, noise_model_args={"p": p, "pm": p},
+        bp_osd_options={}, rounds=2, decoder_mode="ssf_single_shot", seed=4,
+        use_device_sampler=False,
+    )
+    assert len(fails) == 48
+    assert sum(fails) <= 6  # low physical rate -> few logical failures
+
+
 def test_ssf_rejects_mismatched_shapes(hgp_code):
     Hz = hgp_code.checks.z
     with pytest.raises(ValueError):
