@@ -145,10 +145,10 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
     parser.add_argument(
         "--decoder_mode",
         choices=["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector",
-                 "relay_bp", "sliding_window"],
+                 "relay_bp", "sliding_window", "ssf_single_shot"],
         help="Operate decoder in BP+OSD, BP+OSD (single shot), hybrid BP + (BP+OSD), "
-        "detector-model BP, the OSD-free relay-BP ensemble, or streaming "
-        "sliding-window BP+OSD",
+        "detector-model BP, the OSD-free relay-BP ensemble, streaming "
+        "sliding-window BP+OSD, or single-shot small-set-flip",
         default="bposd",
     )
     parser.add_argument(
