@@ -4,6 +4,7 @@ OSD post-processing, spacetime/DEM matrix builders, and decode-mode drivers.
 from .bp import BPDecoder, bp_decode_batch, priors_to_llr
 from .bposd import BPOSDDecoder
 from .flip import FlipDecoder, SmallSetFlipDecoder
+from .qc_bp import QCBPDecoder, QCStructure
 from .osd import osd_decode, osd_decode_batch
 from .relay_bp import RelayBPDecoder, relay_bp_decode_batch
 from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
@@ -15,6 +16,8 @@ __all__ = [
     "BPOSDDecoder",
     "FlipDecoder",
     "SmallSetFlipDecoder",
+    "QCBPDecoder",
+    "QCStructure",
     "SpacetimeBPDecoder",
     "RelayBPDecoder",
     "TannerELL",

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""BP decode throughput across code families / formulations on one chip.
+
+Covers the code-scale axis the headline bench (bench.py, HGP-225) doesn't:
+  * gross code [[144,12,12]]      — small BB code, matmul routing
+  * QC-LP [[1054,140]] (PK'20)    — medium, matmul routing
+  * cyclic LP n=6512              — large, static-gather routing (the
+                                    formulation `_DENSE_OPS_LIMIT` switches
+                                    to when one-hot operands outgrow HBM
+                                    comfort)
+
+Methodology matches bench.py (CLAUDE.md): fixed-iteration min-sum, DISTINCT
+syndrome batches scanned on device, two repeat counts slope-fit to exclude
+the single dispatch.  Writes one JSON line per code to
+artifacts/bp_families_v5e.jsonl (with --write).
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None):
+    import jax
+    import jax.numpy as jnp
+
+    from exp_ldpc_tpu.decoders.bp import (
+        _bp_core, dense_ops_device, priors_to_llr, resolve_use_matmul,
+    )
+    from exp_ldpc_tpu.decoders.qc_bp import QCStructure, _qc_bp_core
+    from exp_ldpc_tpu.decoders.tanner import TannerELL
+
+    tanner = TannerELL.from_check_matrix(H)
+    if qc_dims is not None:
+        struct = QCStructure.from_check_matrix(H, qc_dims)
+        formulation = f"qc-roll{qc_dims}"
+    else:
+        struct = None
+        formulation = "matmul" if resolve_use_matmul(tanner, "auto") else "gather"
+    use_matmul = resolve_use_matmul(tanner, "auto")
+    prior = jnp.asarray(priors_to_llr(np.full(tanner.num_vars, p)))
+    dense_ops = dense_ops_device(tanner) if (use_matmul and struct is None) else None
+    Hd = H.T.toarray()
+
+    rng = np.random.default_rng(0)
+
+    def synds(R):
+        errors = (rng.random((R, shots, tanner.num_vars)) < p).astype(np.uint8)
+        st = (errors @ Hd) % 2
+        return jnp.asarray(st.astype(np.uint8).transpose(0, 2, 1))
+
+    @jax.jit
+    def run_many(ss):
+        def step(carry, synd):
+            if struct is not None:
+                hard, _post, conv, _it = _qc_bp_core(
+                    struct, prior, synd, "ms", iters, jnp.float32(0.625), False
+                )
+            else:
+                hard, _post, conv, _it = _bp_core(
+                    tanner, prior, synd, "ms", iters, jnp.float32(0.625), False,
+                    "auto", dense_ops,
+                )
+            return (carry[0] + hard.sum(), carry[1] + conv.sum()), None
+
+        (tot, conv), _ = jax.lax.scan(step, (jnp.int32(0), jnp.int32(0)), ss)
+        return tot, conv
+
+    lo, hi = jax.device_put(synds(reps_lo)), jax.device_put(synds(reps_hi))
+    t0 = time.perf_counter()
+    _, conv = run_many(lo)
+    conv.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    run_many(hi)[0].block_until_ready()
+
+    def timed(x):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_many(x)[0].block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (timed(hi) - timed(lo)) / (reps_hi - reps_lo)
+    rate = iters * shots / per
+    return {
+        "code": name,
+        "n": tanner.num_vars,
+        "checks": tanner.num_checks,
+        "formulation": formulation,
+        "iters": iters,
+        "shots": shots,
+        "p": p,
+        "bp_iter_shots_per_s": rate,
+        "bp_converged_frac": float(np.asarray(conv)) / (reps_lo * shots),
+        "compile_s": compile_s,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="append results to artifacts/bp_families_v5e.jsonl")
+    ap.add_argument("--shots", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--p", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    from exp_ldpc_tpu.codes.bivariate_bicycle import gross_code
+    from exp_ldpc_tpu.codes.lifted import lifted_product_code_cyclic
+    from exp_ldpc_tpu.codes.qc_lifted import qc_lifted_product_code
+
+    gross_H = gross_code(compute_logicals=False).checks.z
+    shifts = [[1, 2, 4, 8, 16], [5, 10, 20, 9, 18], [25, 19, 7, 14, 28]]
+    qclp_H = qc_lifted_product_code(shifts, 31, compute_logicals=False).checks.z
+    cyclic_H = lifted_product_code_cyclic(
+        q=22, m=1, w=14, r=5, seed=42, compute_logicals=False
+    ).checks.z
+
+    cases = [
+        ("gross_144_12_12", gross_H, None),
+        ("gross_144_12_12", gross_H, (12, 6)),
+        ("qclp_1054_140", qclp_H, None),
+        ("qclp_1054_140", qclp_H, (31,)),
+        # Tanner-code LP orderings are not block-circulant (QCStructure
+        # rejects them) — generic gather formulation only
+        ("cyclic_lp_4862", cyclic_H, None),
+    ]
+
+    out = []
+    for name, H, qc_dims in cases:
+        rec = bench_code(
+            name, H, shots=args.shots, iters=args.iters, p=args.p,
+            reps_lo=4, reps_hi=16, qc_dims=qc_dims,
+        )
+        print(json.dumps(rec))
+        out.append(rec)
+
+    if args.write:
+        with open("artifacts/bp_families_v5e.jsonl", "w") as f:
+            for rec in out:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
