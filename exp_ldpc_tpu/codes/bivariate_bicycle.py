@@ -22,6 +22,7 @@ from scipy import sparse
 
 from ..core import QuantumCode, QuantumCodeChecks
 from .homological import get_logicals
+from .qc_meta import BlockCirculantMeta
 
 __all__ = ["bivariate_bicycle_code", "gross_code", "BB_CODES"]
 
@@ -58,7 +59,8 @@ def bivariate_bicycle_code(
     hz = sparse.csr_matrix(np.hstack([B.T, A.T]))
     checks = QuantumCodeChecks(hx.astype(np.uint32), hz.astype(np.uint32))
     logicals = get_logicals(checks, compute_logicals, check_complex=True)
-    return QuantumCode(checks, logicals)
+    # both sectors are natively grids of circulant blocks over Z_l x Z_m
+    return QuantumCode(checks, logicals, qc_meta=BlockCirculantMeta(dims=(l, m)))
 
 
 # named instances from arXiv:2308.07915 Table 3 (distances cited, not checked)

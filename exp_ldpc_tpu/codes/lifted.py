@@ -506,7 +506,52 @@ def lifted_product_code(
     logicals = get_logicals(checks, compute_logicals=compute_logicals, check_complex=check_complex)
     assert checks.x.shape[1] == checks.z.shape[1]
     assert len(logicals.x) == len(logicals.z)
-    return QuantumCode(checks, logicals)
+    qc_meta = _abelian_qc_layout(group, nE, nV, r1, r2)
+    return QuantumCode(checks, logicals, qc_meta=qc_meta)
+
+
+def _abelian_qc_layout(group, nE: int, nV: int, r1: int, r2: int):
+    """Block-circulant layout of a lifted product over an abelian group.
+
+    Over ``Zqm`` the group action on the flat lex index of the coordinate
+    tuple is a multi-dimensional cyclic shift, so moving the group axis
+    innermost (and relabelling DFS order -> lex order) turns every check
+    matrix into a grid of circulant blocks over dims = (q,)*m.  Returns the
+    :class:`~exp_ldpc_tpu.codes.qc_meta.BlockCirculantMeta` with new->old
+    permutations per the mixed-radix layouts of :func:`lifted_product_code`,
+    or ``None`` for non-abelian groups.
+    """
+    if not all(isinstance(g, Zqm) for g in group):
+        return None
+    from .qc_meta import BlockCirculantMeta
+
+    q, m = group[0].q, group[0].m
+    dims = (q,) * m
+    G = len(group)
+    if G != q ** m:  # generators span a subgroup only: lex relabel undefined
+        return None
+    # DFS position of the group element with flat lex index ell
+    gi_of_lex = np.empty(G, dtype=np.int64)
+    for gi, g in enumerate(group):
+        gi_of_lex[int(np.ravel_multi_index(g.data, dims))] = gi
+
+    def move_g_inner(outer: int, inner: int) -> np.ndarray:
+        """(outer, G, inner) mixed-radix -> new order (outer, inner, lex-G)."""
+        a = np.arange(outer)[:, None, None]
+        b = np.arange(inner)[None, :, None]
+        gl = gi_of_lex[None, None, :]
+        return ((a * G + gl) * inner + b).reshape(-1)
+
+    # index layouts (see lifted_product_code): X checks (e1, g, v2, r2);
+    # qubits EE (e1, g, e2) then VV (v1, r1, g, v2, r2); Z checks (v1, r1, g, e2)
+    x_perm = move_g_inner(nE, nV * r2)
+    z_perm = move_g_inner(nV * r1, nE)
+    qubit_perm = np.concatenate(
+        [move_g_inner(nE, nE), nE * G * nE + move_g_inner(nV * r1, nV * r2)]
+    )
+    return BlockCirculantMeta(
+        dims=dims, qubit_perm=qubit_perm, x_check_perm=x_perm, z_check_perm=z_perm
+    )
 
 
 def _lifted_product_code_wrapper(

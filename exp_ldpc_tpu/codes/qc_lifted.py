@@ -15,6 +15,7 @@ import scipy.sparse as sparse
 
 from ..core import QuantumCode, QuantumCodeChecks
 from .homological import get_logicals
+from .qc_meta import BlockCirculantMeta
 
 __all__ = ["qc_lifted_product_code", "shifts_to_poly_matrix"]
 
@@ -131,7 +132,8 @@ def qc_lifted_product_code(
         sparse.csr_matrix(partial_1).astype(np.uint32),
     )
     logicals = get_logicals(checks, compute_logicals, check_complex)
-    code = QuantumCode(checks, logicals)
+    # _embed_binary emits circulant l x l blocks directly: natively QC
+    code = QuantumCode(checks, logicals, qc_meta=BlockCirculantMeta(dims=(l,)))
     assert len(logicals.x) == len(logicals.z)
     assert checks.x.shape == checks.z.shape
     return code

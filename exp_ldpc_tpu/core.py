@@ -195,18 +195,26 @@ class QuantumCodeLogicals:
 
 @dataclass(frozen=True)
 class QuantumCode:
-    """A CSS code = (checks, logicals) (``qecc_util.py:94-118``)."""
+    """A CSS code = (checks, logicals) (``qecc_util.py:94-118``).
+
+    ``qc_meta`` optionally records block-circulant structure
+    (:class:`exp_ldpc_tpu.codes.qc_meta.BlockCirculantMeta`) so the decoder
+    factory can route quasi-cyclic families to the roll-based BP kernel; it
+    is not part of the reference API surface and defaults to ``None``.
+    """
 
     checks: QuantumCodeChecks
     logicals: QuantumCodeLogicals
 
-    def __init__(self, checks: QuantumCodeChecks, logicals: QuantumCodeLogicals = None):
+    def __init__(self, checks: QuantumCodeChecks, logicals: QuantumCodeLogicals = None,
+                 qc_meta=None):
         if logicals is None:
             logicals = QuantumCodeLogicals.empty(checks.num_qubits)
         if checks.num_qubits != logicals.num_qubits:
             raise ValueError("Number of qubits for checks and logicals is inconsistent")
         object.__setattr__(self, "checks", checks)
         object.__setattr__(self, "logicals", logicals)
+        object.__setattr__(self, "qc_meta", qc_meta)
 
     @property
     def num_qubits(self) -> int:

@@ -5,6 +5,7 @@ from .bp import BPDecoder, bp_decode_batch, priors_to_llr
 from .bposd import BPOSDDecoder
 from .flip import FlipDecoder, SmallSetFlipDecoder
 from .qc_bp import QCBPDecoder, QCStructure
+from .select import make_bp_decoder, qc_kwargs_for_code, qc_kwargs_single_shot
 from .osd import osd_decode, osd_decode_batch
 from .relay_bp import RelayBPDecoder, relay_bp_decode_batch
 from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
@@ -18,6 +19,9 @@ __all__ = [
     "SmallSetFlipDecoder",
     "QCBPDecoder",
     "QCStructure",
+    "make_bp_decoder",
+    "qc_kwargs_for_code",
+    "qc_kwargs_single_shot",
     "SpacetimeBPDecoder",
     "RelayBPDecoder",
     "TannerELL",

@@ -38,15 +38,25 @@ class BPOSDDecoder:
         ms_scaling_factor: float = 0.0,
         osd_method: str = "osd_cs",
         osd_order: int = 7,
+        qc_dims=None,
+        qc_check_perm=None,
+        qc_var_perm=None,
         **_ignored,
     ) -> "BPOSDDecoder":
-        bp = BPDecoder.from_check_matrix(
+        from .select import make_bp_decoder
+
+        # QC codes route the BP stage to the roll kernel; its outputs come
+        # back in ORIGINAL column order, so OSD runs on H unchanged
+        bp = make_bp_decoder(
             H,
             error_rate=error_rate,
             channel_probs=channel_probs,
             max_iter=max_iter,
             bp_method=bp_method,
             ms_scaling_factor=ms_scaling_factor,
+            qc_dims=qc_dims,
+            qc_check_perm=qc_check_perm,
+            qc_var_perm=qc_var_perm,
         )
         return cls(bp=bp, H=sparse.csr_matrix(H), osd_method=osd_method, osd_order=osd_order)
 

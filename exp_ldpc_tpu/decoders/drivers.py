@@ -83,22 +83,27 @@ class BPOSDCorrectSingleShot:
     shots batched inside each step."""
 
     def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+        from .select import qc_kwargs_for_code, qc_kwargs_single_shot
+
         data_prior, meas_prior = priors
         self._rounds = rounds
         self._checks = code.checks.z
+        self._Hd = self._checks.toarray()
         self._spacetime_code = SpacetimeCodeSingleShot(self._checks)
         self._bpd_single_shot = BPOSDDecoder.from_check_matrix(
             self._spacetime_code.spacetime_check_matrix,
             channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
+            **qc_kwargs_single_shot(code),
             **bp_osd_options,
         )
         self._bpd_final_round = BPOSDDecoder.from_check_matrix(
-            self._checks, error_rate=data_prior, **bp_osd_options
+            self._checks, error_rate=data_prior,
+            **qc_kwargs_for_code(code), **bp_osd_options
         )
 
     def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
         S = readout.shape[0]
-        Hd = self._checks.toarray()
+        Hd = self._Hd
         acc = np.zeros_like(readout, dtype=np.int64)
         for t in range(self._rounds):
             corr_syndrome = (acc @ Hd.T) % 2
@@ -120,6 +125,7 @@ class BPOSDHybridCorrect:
         data_prior, meas_prior = priors
         self._rounds = rounds
         self._checks = code.checks.z
+        self._HdT = self._checks.T.toarray()
         self._spacetime_code = SpacetimeCode(self._checks, rounds)
         bp_options = {
             k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")
@@ -129,8 +135,11 @@ class BPOSDHybridCorrect:
             channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
             **bp_options,
         )
+        from .select import qc_kwargs_for_code
+
         self._bpd_final_round = BPOSDDecoder.from_check_matrix(
-            self._checks, error_rate=data_prior, **bp_osd_options
+            self._checks, error_rate=data_prior,
+            **qc_kwargs_for_code(code), **bp_osd_options
         )
 
     def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
@@ -138,7 +147,7 @@ class BPOSDHybridCorrect:
         correction, _post, _conv, _it = self._bpd.decode_batch(syndromes)
         bp_corr = self._spacetime_code.final_correction(np.asarray(correction))
         readout = (bp_corr + readout) % 2
-        syndrome = (readout @ self._checks.T.toarray()) % 2
+        syndrome = (readout @ self._HdT) % 2
         final = self._bpd_final_round.decode_batch(syndrome)
         return (final + bp_corr) % 2
 
@@ -183,6 +192,7 @@ class SSFCorrect:
 
         self._rounds = rounds
         self._checks = code.checks.z
+        self._Hd = self._checks.toarray()
         self._spacetime_code = SpacetimeCodeSingleShot(self._checks)
         max_iter = int(dict(bp_osd_options).get("ssf_max_iter", 0) or 0)
         r, n = self._checks.shape
@@ -202,7 +212,7 @@ class SSFCorrect:
         )
 
     def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
-        Hd = self._checks.toarray()
+        Hd = self._Hd
         acc = np.zeros_like(readout, dtype=np.int64)
         for t in range(self._rounds):
             corr_syndrome = (acc @ Hd.T) % 2

@@ -178,7 +178,7 @@ def _qc_bp_core(struct: QCStructure, prior_llr, syndromes, method: str,
         # variable update: roll each plane into var alignment, segment-sum
         posts = []
         for j, ks in enumerate(by_var):
-            tot = prior_b[j][..., None]
+            tot = jnp.broadcast_to(prior_b[j][..., None], dims + (S,))
             for k in ks:
                 tot = tot + _roll(c2v[k][None], mons[k][2], +1)[0]
             posts.append(tot)
@@ -246,7 +246,13 @@ class QCBPDecoder:
     """Batched BP for quasi-cyclic codes, API-compatible with
     :class:`~exp_ldpc_tpu.decoders.bp.BPDecoder` (drops into
     :class:`~exp_ldpc_tpu.decoders.bposd.BPOSDDecoder` as the ``bp``
-    stage)."""
+    stage).
+
+    ``check_perm``/``var_perm`` (new->old) bring a matrix that is
+    block-circulant only up to row/column order into QC order (e.g. abelian
+    lifted products, whose group index sits mid-radix —
+    ``codes/lifted.py:_abelian_qc_layout``); syndromes are permuted in and
+    all outputs are returned in the ORIGINAL column order."""
 
     struct: QCStructure
     prior_llr: np.ndarray
@@ -254,6 +260,8 @@ class QCBPDecoder:
     max_iter: int = 0
     ms_scaling_factor: float = 0.0
     early_stop: bool = True
+    check_perm: Optional[np.ndarray] = None
+    inv_var_perm: Optional[np.ndarray] = None  # old -> new
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
@@ -275,8 +283,17 @@ class QCBPDecoder:
         bp_method: str = "ps",
         ms_scaling_factor: float = 0.0,
         early_stop: bool = True,
+        check_perm: Optional[np.ndarray] = None,
+        var_perm: Optional[np.ndarray] = None,
         **_ignored,
     ) -> "QCBPDecoder":
+        H = sparse.csr_matrix(H)
+        if check_perm is not None:
+            check_perm = np.asarray(check_perm, dtype=np.int64)
+            H = H[check_perm]
+        if var_perm is not None:
+            var_perm = np.asarray(var_perm, dtype=np.int64)
+            H = H[:, var_perm]
         struct = QCStructure.from_check_matrix(H, dims)
         if channel_probs is not None:
             prior = np.asarray(channel_probs, dtype=np.float64)
@@ -286,6 +303,12 @@ class QCBPDecoder:
             raise ValueError("must supply error_rate or channel_probs")
         if prior.shape[0] != struct.num_vars:
             raise ValueError(f"channel_probs must have {struct.num_vars} entries")
+        if var_perm is not None:
+            prior = prior[var_perm]
+        inv_var_perm = None
+        if var_perm is not None:
+            inv_var_perm = np.empty_like(var_perm)
+            inv_var_perm[var_perm] = np.arange(var_perm.shape[0])
         return cls(
             struct=struct,
             prior_llr=priors_to_llr(prior),
@@ -293,20 +316,28 @@ class QCBPDecoder:
             max_iter=max_iter,
             ms_scaling_factor=float(ms_scaling_factor),
             early_stop=early_stop,
+            check_perm=check_perm,
+            inv_var_perm=inv_var_perm,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
-        syndromes = jnp.asarray(syndromes, dtype=jnp.uint8).T  # (C, S)
+        syndromes = np.asarray(syndromes, dtype=np.uint8)
+        if self.check_perm is not None:
+            syndromes = syndromes[:, self.check_perm]
         hard, post, conv, iters = _qc_bp_core(
             self.struct,
             jnp.asarray(self.prior_llr),
-            syndromes,
+            jnp.asarray(syndromes).T,
             self.method,
             self.max_iter,
             jnp.float32(self.ms_scaling_factor),
             self.early_stop,
         )
-        return hard.T, post.T, conv, iters
+        hard, post = hard.T, post.T
+        if self.inv_var_perm is not None:
+            hard = jnp.asarray(hard)[:, self.inv_var_perm]
+            post = jnp.asarray(post)[:, self.inv_var_perm]
+        return hard, post, conv, iters
 
     def decode(self, syndrome: np.ndarray):
         hard, _post, _conv, _it = self.decode_batch(np.asarray(syndrome)[None, :])

@@ -1,0 +1,92 @@
+"""Decoder-formulation selection: route QC-structured codes to the roll kernel.
+
+The reference delegates every code to one Cython BP implementation
+(``/root/reference/python/qldpc/misc/_experiment.py:51-59``); on TPU the
+right kernel depends on structure — quasi-cyclic families decode with cyclic
+rolls (:mod:`.qc_bp`, no gathers/one-hot matmuls), everything else takes the
+generic :class:`~exp_ldpc_tpu.decoders.bp.BPDecoder` formulations.  This
+module is the one place that decision lives.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+from scipy import sparse
+
+from .bp import BPDecoder
+from .qc_bp import QCBPDecoder
+
+__all__ = ["make_bp_decoder", "qc_kwargs_for_code", "qc_kwargs_single_shot"]
+
+# above this monomial count the unrolled roll kernel's compile time and HLO
+# size are not worth it; fall back to the generic formulations
+_QC_MAX_MONOMIALS = 256
+
+
+def make_bp_decoder(
+    H,
+    *,
+    qc_dims=None,
+    qc_check_perm: Optional[np.ndarray] = None,
+    qc_var_perm: Optional[np.ndarray] = None,
+    **opts,
+):
+    """BP decoder with automatic QC routing.
+
+    With ``qc_dims`` given (block-circulant layout, optionally up to the
+    new->old ``qc_check_perm``/``qc_var_perm``), builds the roll-based
+    :class:`QCBPDecoder` when the monomial count is in the kernel's sweet
+    spot; otherwise the generic :class:`BPDecoder`.  Both expose the same
+    ``decode_batch`` contract.
+    """
+    if qc_dims is not None:
+        H = sparse.csr_matrix(H)
+        L = int(np.prod(qc_dims))
+        num_monomials = H.nnz // L
+        if num_monomials <= _QC_MAX_MONOMIALS:
+            return QCBPDecoder.from_check_matrix(
+                H, qc_dims, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
+            )
+    return BPDecoder.from_check_matrix(H, **opts)
+
+
+def qc_kwargs_for_code(code, sector: str = "z") -> Dict:
+    """``make_bp_decoder`` QC kwargs for decoding a code's X or Z sector
+    (empty dict when the code carries no block-circulant metadata)."""
+    meta = getattr(code, "qc_meta", None)
+    if meta is None:
+        return {}
+    return {
+        "qc_dims": meta.dims,
+        "qc_check_perm": meta.check_perm(sector),
+        "qc_var_perm": meta.qubit_perm,
+    }
+
+
+def qc_kwargs_single_shot(code, sector: str = "z") -> Dict:
+    """QC kwargs for the single-shot matrix (H|I) of a sector.
+
+    The identity block appended for measurement-error columns
+    (``decoders/spacetime.py``, reference ``spacetime_code.py:10-37``) is
+    itself circulant, so (H|I) stays block-circulant: the measurement
+    columns permute with the CHECK permutation.
+    """
+    meta = getattr(code, "qc_meta", None)
+    if meta is None:
+        return {}
+    H = code.checks.z if sector == "z" else code.checks.x
+    r, n = H.shape
+    check_perm = meta.check_perm(sector)
+    qperm = meta.qubit_perm
+    if check_perm is None and qperm is None:
+        var_perm = None
+    else:
+        cp = np.arange(r) if check_perm is None else check_perm
+        qp = np.arange(n) if qperm is None else qperm
+        var_perm = np.concatenate([qp, n + cp])
+    return {
+        "qc_dims": meta.dims,
+        "qc_check_perm": check_perm,
+        "qc_var_perm": var_perm,
+    }

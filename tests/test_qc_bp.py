@@ -92,6 +92,67 @@ def test_qc_option_validation(bb72):
         QCBPDecoder.from_check_matrix(Hz, (6, 6), error_rate=0.1, bp_method="xx")
 
 
+def test_abelian_lp_metadata_and_perm_parity():
+    """An abelian (Z_q) lifted product is block-circulant after the
+    constructor's recorded axis permutation, and the permuted QC decoder
+    matches generic BP bit-exactly on converged shots."""
+    from exp_ldpc_tpu.codes.lifted import lifted_product_code_cyclic
+
+    code = lifted_product_code_cyclic(q=6, m=1, w=4, r=2, seed=3,
+                                      compute_logicals=False)
+    meta = code.qc_meta
+    assert meta is not None and meta.dims == (6,)
+    for H, perm in ((code.checks.z, meta.z_check_perm),
+                    (code.checks.x, meta.x_check_perm)):
+        QCStructure.from_check_matrix(H[perm][:, meta.qubit_perm], meta.dims)
+
+    Hz = code.checks.z
+    rng = np.random.default_rng(0)
+    errs = (rng.random((64, Hz.shape[1])) < 0.02).astype(np.uint8)
+    synd = (errs @ Hz.T.toarray()) % 2
+    kw = dict(error_rate=0.02, max_iter=24, bp_method="ms",
+              ms_scaling_factor=0.625)
+    qc = QCBPDecoder.from_check_matrix(
+        Hz, meta.dims, check_perm=meta.z_check_perm,
+        var_perm=meta.qubit_perm, **kw)
+    ref = BPDecoder.from_check_matrix(Hz, **kw)
+    qh, _qp, qcv, _qi = map(np.asarray, qc.decode_batch(synd))
+    rh, _rp, rcv, _ri = map(np.asarray, ref.decode_batch(synd))
+    assert (qcv == rcv).all()
+    assert (qh[qcv] == rh[rcv]).all()
+    # outputs are in ORIGINAL column order: syndrome validity on converged
+    ok = ((qh @ Hz.T.toarray()) % 2 == synd).all(axis=1)
+    assert (ok == qcv).all()
+
+
+def test_make_bp_decoder_routing(bb72):
+    from exp_ldpc_tpu.decoders.select import (
+        make_bp_decoder, qc_kwargs_for_code, qc_kwargs_single_shot)
+    from scipy import sparse
+
+    dec = make_bp_decoder(bb72.checks.z, error_rate=0.01,
+                          **qc_kwargs_for_code(bb72, "z"))
+    assert isinstance(dec, QCBPDecoder)
+    # no metadata -> generic decoder
+    dec = make_bp_decoder(bb72.checks.z, error_rate=0.01)
+    assert isinstance(dec, BPDecoder)
+    # single-shot (H|I) stays QC (identity block = circulant)
+    kws = qc_kwargs_single_shot(bb72, "z")
+    Hz = bb72.checks.z
+    HI = sparse.hstack([Hz, sparse.identity(Hz.shape[0], dtype=np.uint8)]).tocsr()
+    dec = make_bp_decoder(HI, error_rate=0.01, **kws)
+    assert isinstance(dec, QCBPDecoder)
+
+
+def test_qc_metadata_attached():
+    from exp_ldpc_tpu.codes.qc_lifted import qc_lifted_product_code
+
+    shifts = [[0, 1], [2, 3]]
+    code = qc_lifted_product_code(shifts, 5)
+    assert code.qc_meta.dims == (5,)
+    QCStructure.from_check_matrix(code.checks.z, (5,))
+
+
 def test_qc_drops_into_bposd(bb72):
     from exp_ldpc_tpu.decoders.bposd import BPOSDDecoder
     from scipy import sparse
