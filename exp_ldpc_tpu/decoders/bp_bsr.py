@@ -1,0 +1,481 @@
+"""VMEM-resident BP for LARGE codes: block-sparse one-hot (BSR) routing.
+
+The generic formulations in :mod:`.bp` cover two regimes: dense one-hot MXU
+matmuls (operands O(V*C*Dc) — only small codes) and per-edge XLA row gathers
+(collapses on TPU: 97k iter*shots/s on the n=4862 cyclic lifted product,
+``artifacts/bp_families_v5e.jsonl``).  The reference has no such cliff only
+because it delegates every decode to serial Cython on CPU
+(``/root/reference/python/qldpc/misc/_experiment.py:51-59``); a TPU-native
+framework needs a formulation whose cost scales with the EDGE count.
+
+This kernel tiles the two routing operators into 128x128 ONE-HOT blocks and
+runs only the nonzero blocks on the MXU:
+
+  * messages live in VMEM scratch in plane-major layout ((Dc*C_pad, S_blk),
+    plane s row-block = slot s of every check) for the entire decode — zero
+    per-iteration HBM traffic;
+  * the check update is the unrolled sign/min1-min2 (or phi) plane reduction
+    over 128-check chunks, in place;
+  * variable totals: for each 128-variable tile, sum over its nonzero
+    routing tiles of ``onehot(idx) @ msg[edge_tile]`` — the one-hot is BUILT
+    IN-KERNEL from an int32 index row (broadcasted-iota compare), so the
+    operand store is O(E) indices, not O(E*128) dense floats;
+  * the edge-wise broadcast back is the same tiles transposed
+    (``dot_general`` contracting the variable axis) — one index table serves
+    both directions;
+  * the per-iteration syndrome check rides the broadcast pass for free (the
+    routed posterior IS the per-edge hard decision), giving a global early
+    exit (all shots converged) at VPU cost.
+
+Messages are bfloat16 (accuracy-neutral for min-sum — CLAUDE.md; all
+reductions accumulate in f32 on the MXU), halving VMEM so a whole
+(E ~ 37k) x (128-shot) message plane fits on-core.  Block sparsity for
+product codes is high: the n=4862 cyclic LP needs 548 tiles vs 11856 dense
+— 21x fewer MXU FLOPs than the dense formulation would need, with none of
+the gather path's serialization.
+
+Semantics vs :class:`~exp_ldpc_tpu.decoders.bp.BPDecoder`: fixed-point
+flooding with a GLOBAL early exit — no per-shot freezing (a converged
+shot's outputs keep updating until every shot converges; BP fixed points
+make this unobservable in practice).  ``converged`` is the honest final
+syndrome check per shot, ``iters`` the global iteration count.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from scipy import sparse
+
+from .bp import priors_to_llr
+from .tanner import TannerELL
+
+__all__ = ["BSRSchedule", "bsr_bp_decode", "fits_bsr", "BSRBPDecoder"]
+
+_BIG = 1e30
+_PHI_CLAMP_LO = 1e-7
+_PHI_CLAMP_HI = 30.0
+_TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True, eq=False)  # identity hash: jit static arg
+class BSRSchedule:
+    """Static tile schedule for the BSR routing kernel.
+
+    ``idx[t, p] = q`` means routing tile ``t`` (a (var_tile, edge_tile)
+    pair) maps edge position ``p`` of its edge tile to variable position
+    ``q`` of its variable tile (-1: no edge).  ``sched_m[vt]`` lists
+    ``(edge_tile, t)`` for the variable-totals pass; ``sched_g[et]`` lists
+    ``(var_tile, t)`` for the edge-broadcast pass.  ``mask_t[p, et]`` is
+    +BIG on edge rows with no variable anywhere (padding slots), 0 else.
+    """
+
+    num_checks: int
+    num_vars: int
+    c_pad: int
+    v_pad: int
+    dc: int
+    idx: np.ndarray          # (T_pad, 128) int32
+    mask_t: np.ndarray       # (128, n_edge_tiles) float32
+    sched_m: Tuple[Tuple[Tuple[int, int], ...], ...]
+    sched_g: Tuple[Tuple[Tuple[int, int], ...], ...]
+
+    @property
+    def num_tiles(self) -> int:
+        return sum(len(s) for s in self.sched_m)
+
+    @property
+    def e_pad(self) -> int:
+        return self.dc * self.c_pad
+
+    @classmethod
+    def from_tanner(cls, tanner: TannerELL) -> "BSRSchedule":
+        return _build_schedule(tanner)
+
+
+@lru_cache(maxsize=16)
+def _build_schedule(tanner: TannerELL) -> BSRSchedule:
+    C, V, Dc = tanner.num_checks, tanner.num_vars, tanner.max_check_degree
+    C_pad = _round_up(C, _TILE)
+    V_pad = _round_up(V, _TILE)
+    n_et = Dc * C_pad // _TILE
+    n_vt = V_pad // _TILE
+
+    chk_vars = np.asarray(tanner.chk_vars)
+    chk_mask = np.asarray(tanner.chk_mask)
+    c_idx, s_idx = np.nonzero(chk_mask)
+    v = chk_vars[c_idx, s_idx].astype(np.int64)
+    erow = s_idx.astype(np.int64) * C_pad + c_idx
+    et, ep = erow // _TILE, erow % _TILE
+    vt, vp = v // _TILE, v % _TILE
+
+    key = vt * n_et + et
+    uniq, tile_of_edge = np.unique(key, return_inverse=True)
+    T = uniq.shape[0]
+    T_pad = _round_up(max(T, 8), 8)
+    idx = np.full((T_pad, _TILE), -1, dtype=np.int32)
+    idx[tile_of_edge, ep] = vp.astype(np.int32)
+
+    tile_vt = (uniq // n_et).astype(np.int64)
+    tile_et = (uniq % n_et).astype(np.int64)
+    sched_m = tuple(
+        tuple(
+            (int(tile_et[t]), int(t))
+            for t in np.nonzero(tile_vt == j)[0]
+        )
+        for j in range(n_vt)
+    )
+    sched_g = tuple(
+        tuple(
+            (int(tile_vt[t]), int(t))
+            for t in np.nonzero(tile_et == i)[0]
+        )
+        for i in range(n_et)
+    )
+
+    mask_t = np.full((_TILE, n_et), _BIG, dtype=np.float32)
+    mask_t[ep, et] = 0.0
+
+    return BSRSchedule(
+        num_checks=C, num_vars=V, c_pad=C_pad, v_pad=V_pad, dc=Dc,
+        idx=idx, mask_t=mask_t, sched_m=sched_m, sched_g=sched_g,
+    )
+
+
+def fits_bsr(tanner: TannerELL, shot_block: int = 128,
+             vmem_budget_bytes: int = 14 * 2**20) -> bool:
+    """VMEM feasibility: bf16 messages + f32 posterior/parity + tables."""
+    C_pad = _round_up(tanner.num_checks, _TILE)
+    V_pad = _round_up(tanner.num_vars, _TILE)
+    E_pad = tanner.max_check_degree * C_pad
+    msg = 2 * E_pad * shot_block
+    state = 4 * shot_block * (V_pad + 2 * C_pad)  # posterior, parity, synd
+    # index tables are O(E) int32; live temporaries ~6 (128, S) chunks
+    tables = 4 * (E_pad + 2 * E_pad // _TILE * _TILE)
+    temps = 4 * 8 * _TILE * shot_block
+    return msg + state + tables + temps < vmem_budget_bytes
+
+
+def _phi(x):
+    x = jnp.clip(x, _PHI_CLAMP_LO, _PHI_CLAMP_HI)
+    return -jnp.log(jnp.tanh(x * 0.5))
+
+
+def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
+            post_ref, conv_ref, iters_ref,
+            msg_ref, par_ref, done_ref,
+            *, sched: BSRSchedule, method: str, max_iter: int,
+            alpha0: float, adaptive: bool, early_stop: bool):
+    """One shot block, all iterations, messages resident in VMEM."""
+    C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
+    n_cc = C_pad // _TILE
+    S = synd_ref.shape[1]
+    f32 = jnp.float32
+
+    def onehot(t):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+        return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+
+    def etile(i):
+        return msg_ref[i * _TILE:(i + 1) * _TILE, :]
+
+    # ---- init: v2c = prior at each edge's variable (+BIG on padding rows)
+    for et, pairs in enumerate(sched.sched_g):
+        col = mask_t_ref[:, et:et + 1]
+        for vt, t in pairs:
+            pcol = prior_t_ref[:, vt:vt + 1].astype(jnp.bfloat16)
+            col = col + jax.lax.dot_general(
+                onehot(t), pcol, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        msg_ref[et * _TILE:(et + 1) * _TILE, :] = jnp.broadcast_to(
+            col, (_TILE, S)).astype(jnp.bfloat16)
+
+    done_ref[0] = 0
+    done_ref[1] = max_iter
+
+    def body(it, _):
+        def active():
+            # ---- check update, in place, over 128-check chunks
+            if adaptive:
+                alpha = 1.0 - 2.0 ** (-(it + 1).astype(f32))
+            else:
+                alpha = alpha0
+            for cc in range(n_cc):
+                rows = slice(cc * _TILE, (cc + 1) * _TILE)
+                synd_sign = 1.0 - 2.0 * synd_ref[rows, :].astype(f32)
+                planes = [
+                    msg_ref[s * C_pad + cc * _TILE:
+                            s * C_pad + (cc + 1) * _TILE, :].astype(f32)
+                    for s in range(Dc)
+                ]
+                signs = [jnp.where(p < 0, -1.0, 1.0) for p in planes]
+                total_sign = synd_sign
+                for sg in signs:
+                    total_sign = total_sign * sg
+                mags = [jnp.abs(p) for p in planes]
+                if method == "ps":
+                    phs = [_phi(m) for m in mags]
+                    total = phs[0]
+                    for ph in phs[1:]:
+                        total = total + ph
+                    outs = [
+                        total_sign * signs[s] * _phi(total - phs[s])
+                        for s in range(Dc)
+                    ]
+                else:
+                    min1 = mags[0]
+                    min2 = jnp.full_like(min1, _BIG)
+                    arg = jnp.zeros_like(min1)
+                    for s in range(1, Dc):
+                        m = mags[s]
+                        lt = m < min1
+                        min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+                        arg = jnp.where(lt, float(s), arg)
+                        min1 = jnp.where(lt, m, min1)
+                    outs = [
+                        total_sign * signs[s]
+                        * jnp.where(arg == float(s), min2, min1) * alpha
+                        for s in range(Dc)
+                    ]
+                for s in range(Dc):
+                    msg_ref[s * C_pad + cc * _TILE:
+                            s * C_pad + (cc + 1) * _TILE, :] = (
+                        outs[s].astype(jnp.bfloat16))
+
+            # ---- variable totals: BSR tiles onto the MXU
+            for vt, pairs in enumerate(sched.sched_m):
+                tot = jnp.broadcast_to(prior_t_ref[:, vt:vt + 1], (_TILE, S))
+                for et, t in pairs:
+                    tot = tot + jnp.dot(onehot(t), etile(et),
+                                        preferred_element_type=f32)
+                post_ref[vt * _TILE:(vt + 1) * _TILE, :] = tot
+
+            # ---- edge broadcast (transposed tiles) + in-flight parity
+            par_ref[:] = jnp.zeros((C_pad, S), f32)
+            for et, pairs in enumerate(sched.sched_g):
+                acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
+                for vt, t in pairs:
+                    pb = post_ref[vt * _TILE:(vt + 1) * _TILE, :].astype(
+                        jnp.bfloat16)
+                    acc = acc + jax.lax.dot_general(
+                        onehot(t), pb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                coff = (et * _TILE) % C_pad
+                par_ref[coff:coff + _TILE, :] = (
+                    par_ref[coff:coff + _TILE, :]
+                    + (acc <= 0.0).astype(f32))
+                rows = slice(et * _TILE, (et + 1) * _TILE)
+                msg_ref[rows, :] = (
+                    acc - msg_ref[rows, :].astype(f32)).astype(jnp.bfloat16)
+
+            if early_stop:
+                bad = jnp.zeros((1, S), f32)
+                for cc in range(n_cc):
+                    rows = slice(cc * _TILE, (cc + 1) * _TILE)
+                    p = par_ref[rows, :]
+                    par2 = p - 2.0 * jnp.floor(p * 0.5)
+                    bad = bad + jnp.sum(
+                        jnp.abs(par2 - synd_ref[rows, :].astype(f32)),
+                        axis=0, keepdims=True)
+
+                @pl.when(jnp.max(bad) < 0.5)
+                def _():
+                    done_ref[0] = 1
+                    done_ref[1] = it + 1
+
+        if early_stop:
+            pl.when(done_ref[0] == 0)(active)
+        else:
+            active()
+        return 0
+
+    jax.lax.fori_loop(0, max_iter, body, 0)
+
+    # ---- final convergence flags from the persisted parity accumulator
+    bad = jnp.zeros((1, S), f32)
+    for cc in range(n_cc):
+        rows = slice(cc * _TILE, (cc + 1) * _TILE)
+        p = par_ref[rows, :]
+        par2 = p - 2.0 * jnp.floor(p * 0.5)
+        bad = bad + jnp.sum(
+            jnp.abs(par2 - synd_ref[rows, :].astype(f32)),
+            axis=0, keepdims=True)
+    conv_ref[:] = jnp.broadcast_to((bad < 0.5).astype(f32), conv_ref.shape)
+    iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
+
+
+@partial(jax.jit, static_argnames=("sched", "method", "max_iter",
+                                   "ms_scaling_factor", "early_stop",
+                                   "shot_block", "interpret"))
+def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
+                  max_iter: int, ms_scaling_factor, early_stop: bool = True,
+                  shot_block: int = 128, interpret: bool = False):
+    """syndromes (C, S) uint8 -> (hard (V,S) uint8, posterior (V,S) f32,
+    converged (S,) bool, iters (S,) int32) — the ``_bp_core`` contract
+    (global early exit, see module docstring)."""
+    C, V = sched.num_checks, sched.num_vars
+    C_pad, V_pad = sched.c_pad, sched.v_pad
+    Cs, S = syndromes.shape
+    assert Cs == C
+    S_pad = _round_up(S, shot_block)
+
+    synd = jnp.zeros((C_pad, S_pad), jnp.bfloat16)
+    synd = synd.at[:C, :S].set(syndromes.astype(jnp.bfloat16))
+
+    prior_t = jnp.zeros((_TILE, V_pad // _TILE), jnp.float32)
+    prior_t = prior_t.at[:, :].set(
+        jnp.pad(jnp.asarray(prior_llr, jnp.float32), (0, V_pad - V))
+        .reshape(V_pad // _TILE, _TILE).T)
+
+    kernel = partial(_kernel, sched=sched, method=method, max_iter=max_iter,
+                     alpha0=float(ms_scaling_factor),
+                     adaptive=float(ms_scaling_factor) == 0.0,
+                     early_stop=early_stop)
+
+    grid = (S_pad // shot_block,)
+    blk = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, shot_block), lambda s: (0, s), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    post, conv, iters = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk(C_pad),                      # syndromes
+            full(prior_t.shape),             # priors, (128, n_vt)
+            full(sched.mask_t.shape),        # padding-row mask, (128, n_et)
+            full(sched.idx.shape),           # tile index table
+        ],
+        out_specs=[blk(V_pad), blk(8), blk(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((V_pad, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sched.e_pad, shot_block), jnp.bfloat16),  # messages
+            pltpu.VMEM((C_pad, shot_block), jnp.float32),         # parity
+            pltpu.SMEM((2,), jnp.int32),                          # done, iter
+        ],
+        interpret=interpret,
+    )(synd, prior_t, jnp.asarray(sched.mask_t), jnp.asarray(sched.idx))
+
+    posterior = post[:V, :S]
+    hard = (posterior <= 0).astype(jnp.uint8)
+    return hard, posterior, conv[0, :S] > 0.5, iters[0, :S].astype(jnp.int32)
+
+
+@dataclass
+class BSRBPDecoder:
+    """Batched BP for large codes via the BSR routing kernel; drop-in for
+    :class:`~exp_ldpc_tpu.decoders.bp.BPDecoder` (same ``decode_batch``
+    contract, global-early-exit semantics).  ``check_perm``/``var_perm``
+    (new->old) pre-permute H for tile locality (e.g. the QC layouts of
+    ``codes/qc_meta.py``); outputs return in ORIGINAL column order."""
+
+    sched: BSRSchedule
+    prior_llr: np.ndarray
+    method: str = "ps"
+    max_iter: int = 0
+    ms_scaling_factor: float = 0.0
+    early_stop: bool = True
+    shot_block: int = 128
+    interpret: bool = False
+    check_perm: Optional[np.ndarray] = None
+    inv_var_perm: Optional[np.ndarray] = None  # old -> new
+
+    def __post_init__(self):
+        method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
+        if method is None:
+            raise ValueError(f"unknown bp method {self.method!r}")
+        object.__setattr__(self, "method", method)
+        if self.max_iter <= 0:
+            object.__setattr__(self, "max_iter", self.sched.num_vars)
+
+    @classmethod
+    def from_check_matrix(
+        cls,
+        H,
+        *,
+        error_rate: Optional[float] = None,
+        channel_probs: Optional[np.ndarray] = None,
+        max_iter: int = 0,
+        bp_method: str = "ps",
+        ms_scaling_factor: float = 0.0,
+        early_stop: bool = True,
+        shot_block: int = 128,
+        interpret: bool = False,
+        check_perm: Optional[np.ndarray] = None,
+        var_perm: Optional[np.ndarray] = None,
+        **_ignored,
+    ) -> "BSRBPDecoder":
+        H = sparse.csr_matrix(H)
+        if check_perm is not None:
+            check_perm = np.asarray(check_perm, dtype=np.int64)
+            H = H[check_perm]
+        if var_perm is not None:
+            var_perm = np.asarray(var_perm, dtype=np.int64)
+            H = H[:, var_perm]
+        sched = BSRSchedule.from_tanner(TannerELL.from_check_matrix(H))
+        if channel_probs is not None:
+            prior = np.asarray(channel_probs, dtype=np.float64)
+        elif error_rate is not None:
+            prior = np.full(sched.num_vars, error_rate, dtype=np.float64)
+        else:
+            raise ValueError("must supply error_rate or channel_probs")
+        if prior.shape[0] != sched.num_vars:
+            raise ValueError(f"channel_probs must have {sched.num_vars} entries")
+        if var_perm is not None:
+            prior = prior[var_perm]
+        inv_var_perm = None
+        if var_perm is not None:
+            inv_var_perm = np.empty_like(var_perm)
+            inv_var_perm[var_perm] = np.arange(var_perm.shape[0])
+        return cls(
+            sched=sched,
+            prior_llr=priors_to_llr(prior),
+            method=bp_method,
+            max_iter=max_iter,
+            ms_scaling_factor=float(ms_scaling_factor),
+            early_stop=early_stop,
+            shot_block=shot_block,
+            interpret=interpret,
+            check_perm=check_perm,
+            inv_var_perm=inv_var_perm,
+        )
+
+    def decode_batch(self, syndromes: np.ndarray):
+        syndromes = np.asarray(syndromes, dtype=np.uint8)
+        if self.check_perm is not None:
+            syndromes = syndromes[:, self.check_perm]
+        hard, post, conv, iters = bsr_bp_decode(
+            self.sched,
+            jnp.asarray(self.prior_llr),
+            jnp.asarray(syndromes).T,
+            self.method,
+            self.max_iter,
+            float(self.ms_scaling_factor),
+            self.early_stop,
+            self.shot_block,
+            self.interpret,
+        )
+        hard, post = hard.T, post.T
+        if self.inv_var_perm is not None:
+            hard = jnp.asarray(hard)[:, self.inv_var_perm]
+            post = jnp.asarray(post)[:, self.inv_var_perm]
+        return hard, post, conv, iters
+
+    def decode(self, syndrome: np.ndarray):
+        hard, _post, _conv, _it = self.decode_batch(np.asarray(syndrome)[None, :])
+        return np.asarray(hard[0])

@@ -14,14 +14,21 @@ from typing import Dict, Optional
 import numpy as np
 from scipy import sparse
 
-from .bp import BPDecoder
+from .bp import BPDecoder, _dense_ops_bytes
 from .qc_bp import QCBPDecoder
+from .tanner import TannerELL
 
 __all__ = ["make_bp_decoder", "qc_kwargs_for_code", "qc_kwargs_single_shot"]
 
 # above this monomial count the unrolled roll kernel's compile time and HLO
 # size are not worth it; fall back to the generic formulations
 _QC_MAX_MONOMIALS = 256
+
+# below this dense-operand size the generic MXU matmul formulation beats the
+# roll kernel (v5e: gross code 133M vs 105M iter*shots/s at 0.5 MiB operands;
+# QC-LP [[1054,140]] flips to 3.8M vs 18.7M at 30 MiB —
+# artifacts/bp_families_v5e.jsonl)
+_QC_PREFER_DENSE_OPS_LIMIT = 4 * 2**20
 
 
 def make_bp_decoder(
@@ -44,7 +51,9 @@ def make_bp_decoder(
         H = sparse.csr_matrix(H)
         L = int(np.prod(qc_dims))
         num_monomials = H.nnz // L
-        if num_monomials <= _QC_MAX_MONOMIALS:
+        small = (_dense_ops_bytes(TannerELL.from_check_matrix(H))
+                 <= _QC_PREFER_DENSE_OPS_LIMIT)
+        if num_monomials <= _QC_MAX_MONOMIALS and not small:
             return QCBPDecoder.from_check_matrix(
                 H, qc_dims, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
             )

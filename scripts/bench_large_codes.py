@@ -21,18 +21,30 @@ import time
 import numpy as np
 
 
-def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None):
+def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
+               qc_perms=None, bsr=False):
     import jax
     import jax.numpy as jnp
 
     from exp_ldpc_tpu.decoders.bp import (
         _bp_core, dense_ops_device, priors_to_llr, resolve_use_matmul,
     )
+    from exp_ldpc_tpu.decoders.bp_bsr import BSRSchedule, bsr_bp_decode
     from exp_ldpc_tpu.decoders.qc_bp import QCStructure, _qc_bp_core
     from exp_ldpc_tpu.decoders.tanner import TannerELL
 
+    if qc_perms is not None:
+        # throughput is permutation-invariant (same Tanner graph); bring the
+        # matrix into block-circulant order up front, as QCBPDecoder does
+        check_perm, var_perm = qc_perms
+        H = H[check_perm][:, var_perm] if check_perm is not None else H[:, var_perm]
     tanner = TannerELL.from_check_matrix(H)
-    if qc_dims is not None:
+    sched = None
+    if bsr:
+        struct = None
+        sched = BSRSchedule.from_tanner(tanner)
+        formulation = f"bsr[{sched.num_tiles} tiles]"
+    elif qc_dims is not None:
         struct = QCStructure.from_check_matrix(H, qc_dims)
         formulation = f"qc-roll{qc_dims}"
     else:
@@ -40,7 +52,8 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None):
         formulation = "matmul" if resolve_use_matmul(tanner, "auto") else "gather"
     use_matmul = resolve_use_matmul(tanner, "auto")
     prior = jnp.asarray(priors_to_llr(np.full(tanner.num_vars, p)))
-    dense_ops = dense_ops_device(tanner) if (use_matmul and struct is None) else None
+    dense_ops = (dense_ops_device(tanner)
+                 if (use_matmul and struct is None and sched is None) else None)
     Hd = H.T.toarray()
 
     rng = np.random.default_rng(0)
@@ -53,7 +66,11 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None):
     @jax.jit
     def run_many(ss):
         def step(carry, synd):
-            if struct is not None:
+            if sched is not None:
+                hard, _post, conv, _it = bsr_bp_decode(
+                    sched, prior, synd, "ms", iters, 0.625, False
+                )
+            elif struct is not None:
                 hard, _post, conv, _it = _qc_bp_core(
                     struct, prior, synd, "ms", iters, jnp.float32(0.625), False
                 )
@@ -114,25 +131,37 @@ def main():
     gross_H = gross_code(compute_logicals=False).checks.z
     shifts = [[1, 2, 4, 8, 16], [5, 10, 20, 9, 18], [25, 19, 7, 14, 28]]
     qclp_H = qc_lifted_product_code(shifts, 31, compute_logicals=False).checks.z
-    cyclic_H = lifted_product_code_cyclic(
+    cyclic = lifted_product_code_cyclic(
         q=22, m=1, w=14, r=5, seed=42, compute_logicals=False
-    ).checks.z
+    )
+    cyclic_H = cyclic.checks.z
+    cyc_meta = cyclic.qc_meta
+    cyc_perms = (cyc_meta.z_check_perm, cyc_meta.qubit_perm)
 
+    # (name, H, qc_dims, qc_perms, bsr)
     cases = [
-        ("gross_144_12_12", gross_H, None),
-        ("gross_144_12_12", gross_H, (12, 6)),
-        ("qclp_1054_140", qclp_H, None),
-        ("qclp_1054_140", qclp_H, (31,)),
-        # Tanner-code LP orderings are not block-circulant (QCStructure
-        # rejects them) — generic gather formulation only
-        ("cyclic_lp_4862", cyclic_H, None),
+        ("gross_144_12_12", gross_H, None, None, False),
+        ("gross_144_12_12", gross_H, (12, 6), None, False),
+        ("qclp_1054_140", qclp_H, None, None, False),
+        ("qclp_1054_140", qclp_H, (31,), None, False),
+        ("qclp_1054_140", qclp_H, None, None, True),
+        ("cyclic_lp_4862", cyclic_H, None, None, False),
+        # the 1332-monomial abelian LP exceeds the roll kernel's unroll
+        # limit; its fast path is the BSR tile kernel (QC ordering improves
+        # tile locality: 548 vs 692 tiles)
+        ("cyclic_lp_4862", cyclic_H, None, cyc_perms, True),
+    ]
+    from exp_ldpc_tpu.decoders.select import _QC_MAX_MONOMIALS
+    cases = [
+        c for c in cases
+        if c[2] is None or c[1].nnz // int(np.prod(c[2])) <= _QC_MAX_MONOMIALS
     ]
 
     out = []
-    for name, H, qc_dims in cases:
+    for name, H, qc_dims, qc_perms, bsr in cases:
         rec = bench_code(
             name, H, shots=args.shots, iters=args.iters, p=args.p,
-            reps_lo=4, reps_hi=16, qc_dims=qc_dims,
+            reps_lo=4, reps_hi=16, qc_dims=qc_dims, qc_perms=qc_perms, bsr=bsr,
         )
         print(json.dumps(rec))
         out.append(rec)

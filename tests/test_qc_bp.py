@@ -130,15 +130,24 @@ def test_make_bp_decoder_routing(bb72):
         make_bp_decoder, qc_kwargs_for_code, qc_kwargs_single_shot)
     from scipy import sparse
 
+    # small QC codes stay on the generic MXU matmul formulation (measured
+    # faster below the dense-operand threshold: gross 133M vs 105M it*sh/s)
     dec = make_bp_decoder(bb72.checks.z, error_rate=0.01,
                           **qc_kwargs_for_code(bb72, "z"))
+    assert isinstance(dec, BPDecoder)
+    # above the threshold the roll kernel takes over (18.7M vs 3.8M on
+    # QC-LP [[1054,140]])
+    shifts = [[1, 2, 4, 8, 16], [5, 10, 20, 9, 18], [25, 19, 7, 14, 28]]
+    big = qc_lifted_product_code(shifts, 31, compute_logicals=False)
+    dec = make_bp_decoder(big.checks.z, error_rate=0.01,
+                          **qc_kwargs_for_code(big, "z"))
     assert isinstance(dec, QCBPDecoder)
     # no metadata -> generic decoder
-    dec = make_bp_decoder(bb72.checks.z, error_rate=0.01)
+    dec = make_bp_decoder(big.checks.z, error_rate=0.01)
     assert isinstance(dec, BPDecoder)
     # single-shot (H|I) stays QC (identity block = circulant)
-    kws = qc_kwargs_single_shot(bb72, "z")
-    Hz = bb72.checks.z
+    kws = qc_kwargs_single_shot(big, "z")
+    Hz = big.checks.z
     HI = sparse.hstack([Hz, sparse.identity(Hz.shape[0], dtype=np.uint8)]).tocsr()
     dec = make_bp_decoder(HI, error_rate=0.01, **kws)
     assert isinstance(dec, QCBPDecoder)
