@@ -56,7 +56,7 @@ def get_two_qubit_targets(line: str) -> List[Tuple[int, int]]:
         targets = [int(t) for t in tokens[1:]]
         if len(targets) % 2 == 1:
             raise ValueError(
-                f"Found an odd number of targets for a two qubit gate directive: \n {line}"
+                f"two-qubit gate line has an odd target count: {line!r}"
             )
         return list(zip(targets[::2], targets[1::2]))
     return []

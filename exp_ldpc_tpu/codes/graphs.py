@@ -111,7 +111,7 @@ def random_biregular_graph(
     if graph_multiedge_retries is None:
         graph_multiedge_retries = 100
     if num_checks * check_degree != num_data * data_degree:
-        raise RuntimeError("Number of data bits incompatible with data and check degrees")
+        raise RuntimeError("biregularity needs num_data*data_degree == num_checks*check_degree")
 
     rng = np.random.default_rng(seed)
     left = np.repeat(np.arange(num_data), data_degree)
@@ -134,7 +134,7 @@ def random_biregular_graph(
         for i, j in zip(dup_positions, partners):
             right[i], right[j] = right[j], right[i]
     else:
-        raise RuntimeError("Unable to remove multiedges from the graph")
+        raise RuntimeError("multiedge repair did not converge; raise graph_multiedge_retries")
 
     return BipartiteGraph.from_edges(num_data, num_checks, zip(left, right))
 

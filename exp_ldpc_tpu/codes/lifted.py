@@ -171,7 +171,7 @@ def random_abelian_generators(q, m, k, symmetric=None, seed=None) -> List[Zqm]:
     if symmetrize:
         if k % 2 != 0:
             raise ValueError(
-                "Number of generators must be even when the set is symmetrized and q /= 2"
+                "symmetrized generator sets over q != 2 need an even generator count"
             )
         k = k // 2
     matrix = rng.integers(low=0, high=q, size=(k, m))
@@ -193,8 +193,8 @@ def morgenstern_generators(l, i, use_B_generators=None, symmetric=None) -> List[
     assert l >= 1
     if i % 2 != 0:
         raise ValueError(
-            "The Morgenstern construction works only for PGL(2, q^i) with even i, "
-            "because we need a quaternion algebra"
+            "Morgenstern generators exist only for PGL(2, q^i) with even i "
+            "(the required quaternion algebra has no odd-i analog)"
         )
     q = 2**l
     Fqi = GF(q**i)
@@ -345,7 +345,7 @@ def lifted_product_code(
       qubits:    block EE = (e1, g, e2);  block VV = (v1, r1, g, v2, r2)
       Z checks:  (v1, r1, g, e2)
     """
-    warnings.warn("Lifted Product codes is experimental!")
+    warnings.warn("lifted-product construction is an experimental surface")
     if check_complex is None:
         check_complex = False
     if compute_logicals is None:
@@ -356,7 +356,7 @@ def lifted_product_code(
     h1 = np.asarray(h1) % 2
     h2 = np.asarray(h2) % 2
     if h1.shape[1] != h2.shape[1]:
-        raise ValueError("Local code block lengths must match. (For now)")
+        raise ValueError("h1 and h2 need equal block lengths (mixed lengths unsupported)")
 
     if base_graph is None:
         base_graph = (
@@ -365,7 +365,7 @@ def lifted_product_code(
     B = base_graph
     for v in range(B.num_vertices):
         if B.degree(v) != h1.shape[1]:
-            raise ValueError("Local code block length does not match base graph degree")
+            raise ValueError("every base-graph vertex degree has to equal the local block length")
 
     group = list(group)
     gidx = {g: i for i, g in enumerate(group)}

@@ -210,47 +210,52 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                 alpha = 1.0 - 2.0 ** (-(it + 1).astype(f32))
             else:
                 alpha = alpha0
+            # two streaming passes keep only O(1) (128, S) registers live
+            # (holding all Dc planes at once overflows the VMEM stack)
             for cc in range(n_cc):
                 rows = slice(cc * _TILE, (cc + 1) * _TILE)
                 synd_sign = 1.0 - 2.0 * synd_ref[rows, :].astype(f32)
-                planes = [
-                    msg_ref[s * C_pad + cc * _TILE:
-                            s * C_pad + (cc + 1) * _TILE, :].astype(f32)
-                    for s in range(Dc)
-                ]
-                signs = [jnp.where(p < 0, -1.0, 1.0) for p in planes]
-                total_sign = synd_sign
-                for sg in signs:
-                    total_sign = total_sign * sg
-                mags = [jnp.abs(p) for p in planes]
+
+                def plane(s):
+                    return msg_ref[s * C_pad + cc * _TILE:
+                                   s * C_pad + (cc + 1) * _TILE, :].astype(f32)
+
                 if method == "ps":
-                    phs = [_phi(m) for m in mags]
-                    total = phs[0]
-                    for ph in phs[1:]:
-                        total = total + ph
-                    outs = [
-                        total_sign * signs[s] * _phi(total - phs[s])
-                        for s in range(Dc)
-                    ]
+                    total_sign = synd_sign
+                    total = jnp.zeros_like(synd_sign)
+                    for s in range(Dc):
+                        p = plane(s)
+                        total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
+                        total = total + _phi(jnp.abs(p))
+                    for s in range(Dc):
+                        p = plane(s)
+                        out = (total_sign * jnp.where(p < 0, -1.0, 1.0)
+                               * _phi(total - _phi(jnp.abs(p))))
+                        msg_ref[s * C_pad + cc * _TILE:
+                                s * C_pad + (cc + 1) * _TILE, :] = (
+                            out.astype(jnp.bfloat16))
                 else:
-                    min1 = mags[0]
+                    total_sign = synd_sign
+                    p = plane(0)
+                    total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
+                    min1 = jnp.abs(p)
                     min2 = jnp.full_like(min1, _BIG)
                     arg = jnp.zeros_like(min1)
                     for s in range(1, Dc):
-                        m = mags[s]
+                        p = plane(s)
+                        total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
+                        m = jnp.abs(p)
                         lt = m < min1
                         min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
                         arg = jnp.where(lt, float(s), arg)
                         min1 = jnp.where(lt, m, min1)
-                    outs = [
-                        total_sign * signs[s]
-                        * jnp.where(arg == float(s), min2, min1) * alpha
-                        for s in range(Dc)
-                    ]
-                for s in range(Dc):
-                    msg_ref[s * C_pad + cc * _TILE:
-                            s * C_pad + (cc + 1) * _TILE, :] = (
-                        outs[s].astype(jnp.bfloat16))
+                    for s in range(Dc):
+                        p = plane(s)
+                        out = (total_sign * jnp.where(p < 0, -1.0, 1.0)
+                               * jnp.where(arg == float(s), min2, min1) * alpha)
+                        msg_ref[s * C_pad + cc * _TILE:
+                                s * C_pad + (cc + 1) * _TILE, :] = (
+                            out.astype(jnp.bfloat16))
 
             # ---- variable totals: BSR tiles onto the MXU
             for vt, pairs in enumerate(sched.sched_m):
@@ -261,7 +266,7 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                 post_ref[vt * _TILE:(vt + 1) * _TILE, :] = tot
 
             # ---- edge broadcast (transposed tiles) + in-flight parity
-            par_ref[:] = jnp.zeros((C_pad, S), f32)
+            par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
             for et, pairs in enumerate(sched.sched_g):
                 acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
                 for vt, t in pairs:
@@ -271,9 +276,10 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                         onehot(t), pb, (((0,), (0,)), ((), ())),
                         preferred_element_type=f32)
                 coff = (et * _TILE) % C_pad
+                # bf16 parity counts are exact up to Dc <= 256
                 par_ref[coff:coff + _TILE, :] = (
                     par_ref[coff:coff + _TILE, :]
-                    + (acc <= 0.0).astype(f32))
+                    + (acc <= 0.0).astype(jnp.bfloat16))
                 rows = slice(et * _TILE, (et + 1) * _TILE)
                 msg_ref[rows, :] = (
                     acc - msg_ref[rows, :].astype(f32)).astype(jnp.bfloat16)
@@ -282,7 +288,7 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                 bad = jnp.zeros((1, S), f32)
                 for cc in range(n_cc):
                     rows = slice(cc * _TILE, (cc + 1) * _TILE)
-                    p = par_ref[rows, :]
+                    p = par_ref[rows, :].astype(f32)
                     par2 = p - 2.0 * jnp.floor(p * 0.5)
                     bad = bad + jnp.sum(
                         jnp.abs(par2 - synd_ref[rows, :].astype(f32)),
@@ -305,7 +311,7 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     bad = jnp.zeros((1, S), f32)
     for cc in range(n_cc):
         rows = slice(cc * _TILE, (cc + 1) * _TILE)
-        p = par_ref[rows, :]
+        p = par_ref[rows, :].astype(f32)
         par2 = p - 2.0 * jnp.floor(p * 0.5)
         bad = bad + jnp.sum(
             jnp.abs(par2 - synd_ref[rows, :].astype(f32)),
@@ -365,9 +371,13 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
         ],
         scratch_shapes=[
             pltpu.VMEM((sched.e_pad, shot_block), jnp.bfloat16),  # messages
-            pltpu.VMEM((C_pad, shot_block), jnp.float32),         # parity
+            pltpu.VMEM((C_pad, shot_block), jnp.bfloat16),        # parity
             pltpu.SMEM((2,), jnp.int32),                          # done, iter
         ],
+        # the default 16 MiB scoped-VMEM cap is conservative; the long
+        # unrolled tile schedule needs stack room beyond the resident state
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20) if not interpret else None,
         interpret=interpret,
     )(synd, prior_t, jnp.asarray(sched.mask_t), jnp.asarray(sched.idx))
 

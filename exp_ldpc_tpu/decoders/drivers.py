@@ -383,28 +383,28 @@ def add_bposd_args(parser):
     parser.add_argument(
         "--bposd_max_iter",
         type=lambda x: int(x) if x is not None else None,
-        help="Maximum number of iterations for BP. Default is the number of qubits in the code",
+        help="BP iteration cap (defaults to the code's qubit count)",
         default=None,
     )
     parser.add_argument(
         "--bposd_bp_method",
         choices=["ps", "ms", "msl"],
-        help="BP method (product-sum, min-sum, min-sum log)",
+        help="BP update rule: product-sum, min-sum, or log-domain min-sum",
         default="ps",
     )
     parser.add_argument(
         "--bposd_ms_scaling_factor",
         type=float,
-        help="Min sum scaling factor. Use variable scaling factor method if 0",
+        help="min-sum scaling alpha; 0 selects the adaptive 1-2^-t schedule",
         default=0,
     )
     parser.add_argument(
         "--bposd_osd_method",
         choices=["osd_e", "osd_cs", "osd0"],
-        help="OSD method",
+        help="OSD post-processing variant",
         default="osd_cs",
     )
-    parser.add_argument("--bposd_osd_order", type=int, help="OSD search depth", default=7)
+    parser.add_argument("--bposd_osd_order", type=int, help="OSD combination-sweep / exhaustion depth", default=7)
 
 
 def unpack_bposd_args(parsed_args, code: QuantumCode) -> Dict:

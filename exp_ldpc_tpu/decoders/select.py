@@ -14,7 +14,8 @@ from typing import Dict, Optional
 import numpy as np
 from scipy import sparse
 
-from .bp import BPDecoder, _dense_ops_bytes
+from .bp import BPDecoder, _dense_ops_bytes, resolve_use_matmul
+from .bp_bsr import BSRBPDecoder, fits_bsr
 from .qc_bp import QCBPDecoder
 from .tanner import TannerELL
 
@@ -47,17 +48,38 @@ def make_bp_decoder(
     spot; otherwise the generic :class:`BPDecoder`.  Both expose the same
     ``decode_batch`` contract.
     """
+    H = sparse.csr_matrix(H)
+    tanner = TannerELL.from_check_matrix(H)
+    ops_bytes = _dense_ops_bytes(tanner)
     if qc_dims is not None:
-        H = sparse.csr_matrix(H)
         L = int(np.prod(qc_dims))
         num_monomials = H.nnz // L
-        small = (_dense_ops_bytes(TannerELL.from_check_matrix(H))
-                 <= _QC_PREFER_DENSE_OPS_LIMIT)
-        if num_monomials <= _QC_MAX_MONOMIALS and not small:
+        if (num_monomials <= _QC_MAX_MONOMIALS
+                and ops_bytes > _QC_PREFER_DENSE_OPS_LIMIT):
             return QCBPDecoder.from_check_matrix(
                 H, qc_dims, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
             )
+    if not resolve_use_matmul(tanner, "auto") and _bsr_usable(tanner):
+        # too big for dense one-hot operands; XLA row gathers collapse here
+        # (97k iter*shots/s on the n=4862 cyclic LP) — the BSR tile kernel
+        # is the fast path (27.4M on QC-LP [[1054,140]]).  QC layout
+        # permutations, when known, improve its tile locality.
+        return BSRBPDecoder.from_check_matrix(
+            H, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
+        )
     return BPDecoder.from_check_matrix(H, **opts)
+
+
+def _bsr_usable(tanner: TannerELL) -> bool:
+    """BSR needs a real TPU backend (no Mosaic CPU lowering) + VMEM room."""
+    import jax
+
+    if not fits_bsr(tanner):
+        return False
+    try:
+        return all(d.platform == "tpu" for d in jax.devices())
+    except RuntimeError:
+        return False
 
 
 def qc_kwargs_for_code(code, sector: str = "z") -> Dict:

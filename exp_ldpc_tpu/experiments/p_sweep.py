@@ -51,13 +51,88 @@ def _load_checkpoint(path: Path):
     return records
 
 
+class _PipelineSweeper:
+    """Mesh-sharded fused sample+decode for the ``bposd`` sweep mode.
+
+    The reference saturates one host with a multiprocessing Pool per sweep
+    point (``misc/p_sweep.py:17-29``); here each point is a handful of fully
+    fused on-device batches (:class:`~exp_ldpc_tpu.parallel.pipeline.
+    StorageDecodePipeline`) with host-side OSD touching only the BP
+    failures.  ONE compile serves the whole p grid (noise probabilities and
+    priors rebind as runtime arguments)."""
+
+    def __init__(self, code, rounds, noise_model, noise_model_args,
+                 meas_prior, data_prior, bp_osd_options,
+                 mesh_devices: int, shots_per_device: int):
+        checks = code.checks
+        self._x_steps = max(int(checks.x.sum(axis=0).max()),
+                            int(checks.x.sum(axis=1).max()))
+        self._z_steps = max(int(checks.z.sum(axis=0).max()),
+                            int(checks.z.sum(axis=1).max()))
+        self.code = code
+        self.rounds = rounds
+        self.noise_model = noise_model
+        self.noise_model_args = noise_model_args
+        self.meas_prior = meas_prior
+        self.data_prior = data_prior
+        self.options = dict(bp_osd_options)
+        self.shots_per_device = shots_per_device
+        self.mesh = None
+        self.n_devices = 1
+        if mesh_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(mesh_devices)
+            self.n_devices = mesh_devices
+        self.pipe = None
+
+    def run_point(self, p_ph: float, samples: int, seed: Optional[int]):
+        import jax
+
+        from ..parallel.pipeline import StorageDecodePipeline
+
+        noise = self.noise_model(**self.noise_model_args(p_ph))
+        data_p = self.data_prior(p_ph, self._x_steps, self._z_steps)
+        meas_p = self.meas_prior(p_ph, self._x_steps, self._z_steps)
+        if self.pipe is None:
+            opts = self.options
+            self.pipe = StorageDecodePipeline(
+                code=self.code,
+                rounds=self.rounds,
+                noise_model=noise,
+                data_prior=data_p,
+                meas_prior=meas_p,
+                shots_per_device=self.shots_per_device,
+                max_iter=int(opts.get("max_iter", 40)),
+                bp_method=opts.get("bp_method", "ps"),
+                ms_scaling_factor=float(opts.get("ms_scaling_factor", 0.0)),
+                mesh=self.mesh,
+                osd_fallback_cap=self.shots_per_device,
+                osd_options=opts,
+            )
+        else:
+            self.pipe.rebind_noise(noise, data_p, meas_p)
+
+        per_batch = self.shots_per_device * self.n_devices
+        n_batches = max(1, -(-samples // per_batch))
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        failures = total = 0
+        for k in jax.random.split(key, n_batches):
+            f, s, _osd = self.pipe.run_bposd(k)
+            failures += f
+            total += s
+        return failures, total
+
+
 def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_prior,
             seed=None, use_device_sampler=None, checkpoint: Optional[Path] = None,
-            **kwargs):
+            pipeline: Optional[dict] = None, **kwargs):
     """Sweep physical error rates; returns a pandas DataFrame of records.
 
     With ``checkpoint`` set, completed points are streamed to a JSONL file
-    and a restarted sweep resumes after the last completed point.
+    and a restarted sweep resumes after the last completed point.  With
+    ``pipeline`` set (dict of ``mesh_devices``/``shots_per_device``), the
+    ``bposd`` mode runs through the fused mesh-sharded device pipeline.
     """
     import pandas as pd
 
@@ -70,25 +145,48 @@ def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_p
         if data:
             _log.info("resuming sweep: %d completed points in %s", len(data), checkpoint)
 
+    sweeper = None
+    if pipeline is not None:
+        if kwargs.get("decoder_mode", "bposd") != "bposd":
+            raise ValueError(
+                "the fused pipeline implements the 'bposd' mode; drop "
+                "--pipeline for other decoder modes")
+        sweeper = _PipelineSweeper(
+            code=kwargs["code"],
+            rounds=kwargs.get("rounds", 1),
+            noise_model=noise_model,
+            noise_model_args=noise_model_args,
+            meas_prior=meas_prior,
+            data_prior=data_prior,
+            bp_osd_options=kwargs["bp_osd_options"],
+            mesh_devices=int(pipeline.get("mesh_devices", 1)),
+            shots_per_device=int(pipeline.get("shots_per_device", 4096)),
+        )
+
     for i, p_ph in enumerate(p_values):
         if round(float(p_ph), 12) in done_p:
             continue
         time_start = datetime.now()
-        logical_values = run_simulation(
-            samples,
-            noise_model=noise_model,
-            noise_model_args=noise_model_args(p_ph),
-            meas_prior=lambda xs, zs, p=p_ph: meas_prior(p, xs, zs),
-            data_prior=lambda xs, zs, p=p_ph: data_prior(p, xs, zs),
-            seed=(seed + i if seed is not None else None),
-            use_device_sampler=use_device_sampler,
-            **kwargs,
-        )
+        if sweeper is not None:
+            failures, total = sweeper.run_point(
+                p_ph, samples, seed + i if seed is not None else None)
+        else:
+            logical_values = run_simulation(
+                samples,
+                noise_model=noise_model,
+                noise_model_args=noise_model_args(p_ph),
+                meas_prior=lambda xs, zs, p=p_ph: meas_prior(p, xs, zs),
+                data_prior=lambda xs, zs, p=p_ph: data_prior(p, xs, zs),
+                seed=(seed + i if seed is not None else None),
+                use_device_sampler=use_device_sampler,
+                **kwargs,
+            )
+            failures, total = sum(logical_values), len(logical_values)
         runtime = (datetime.now() - time_start).total_seconds()
         point = {
             "p_ph": p_ph,
-            "failures": sum(logical_values),
-            "samples": len(logical_values),
+            "failures": failures,
+            "samples": total,
             "walltime": runtime,
             **kwargs,
             **(kwargs["bp_osd_options"]),
@@ -134,14 +232,13 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
         "quantum code under BP+OSD"
     )
     parser.add_argument("code", type=Path)
-    parser.add_argument("--samples", type=int, help="Number of samples to take")
+    parser.add_argument("--samples", type=int, help="Monte-Carlo shots per sweep point")
     parser.add_argument(
         "--p_sweep",
         type=parse_sweep_spec,
-        help="Specify lower and upper bounds of the sweep + number of points in the form "
-        "(lower, upper, points)",
+        help="sweep grid as (lower, upper, points)",
     )
-    parser.add_argument("--rounds", type=int, help="Number of rounds of syndrome extraction", default=1)
+    parser.add_argument("--rounds", type=int, help="syndrome-extraction rounds per shot", default=1)
     parser.add_argument(
         "--decoder_mode",
         choices=["bposd", "bposd_single_shot", "bposd_hybrid", "bpd_detector",
@@ -154,8 +251,7 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
     parser.add_argument(
         "--linspace",
         type=bool,
-        help="Perform the sweep with linearly spaced points. The default is uniform spacing "
-        "in log space",
+        help="linearly spaced sweep points (default: geometric spacing)",
         default=False,
     )
     parser.add_argument("--seed", type=int, default=None)
@@ -166,6 +262,20 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
         "--checkpoint", type=Path, default=None,
         help="JSONL file to stream completed sweep points to; re-running with "
         "the same file resumes after the last completed point",
+    )
+    parser.add_argument(
+        "--pipeline", action="store_true",
+        help="Run each sweep point through the fused on-device "
+        "sample+decode pipeline (bposd mode only): BP on device, OSD on the "
+        "returned BP failures, one compile for the whole sweep",
+    )
+    parser.add_argument(
+        "--mesh_devices", type=int, default=1,
+        help="Shard pipeline shots over this many devices (data-axis mesh)",
+    )
+    parser.add_argument(
+        "--shots_per_device", type=int, default=4096,
+        help="Monte-Carlo sub-batch size per device per pipeline step",
     )
     add_bposd_args(parser)
 
@@ -189,6 +299,11 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
         seed=args.seed,
         use_device_sampler=not args.cpu_sampler,
         checkpoint=args.checkpoint,
+        pipeline=(
+            {"mesh_devices": args.mesh_devices,
+             "shots_per_device": args.shots_per_device}
+            if args.pipeline else None
+        ),
     )
     result.to_csv(sys.stdout)
 

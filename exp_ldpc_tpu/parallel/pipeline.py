@@ -68,6 +68,13 @@ class StorageDecodePipeline:
     # HGP-225; f32, 100% hard-decision agreement); "xla" forces the XLA
     # core; "pallas" forces the kernel (errors off-TPU)
     bp_backend: str = "auto"
+    # > 0: the device step additionally ships (up to cap per device) the
+    # syndromes+readouts of BP-unconverged shots to the host, where a full
+    # BP+OSD decode replaces their plain-BP correction (the reference bposd
+    # statistical contract: OSD touches exactly the BP failures,
+    # ``misc/_experiment.py:62-83``).  Use :meth:`run_bposd`.
+    osd_fallback_cap: int = 0
+    osd_options: Optional[dict] = None
 
     def __post_init__(self):
         code = self.code
@@ -103,8 +110,24 @@ class StorageDecodePipeline:
         self._noise_args = jnp.asarray(self.parsed.noise_args())
         self._prior = jnp.asarray(self.prior_llr)
 
+        self._osd = None
+        if self.osd_fallback_cap > 0:
+            if self.osd_fallback_cap > self.shots_per_device:
+                raise ValueError("osd_fallback_cap exceeds shots_per_device")
+            self._osd = self._build_osd_corrector()
+
         self._pallas = self._resolve_backend()
         self._step = self._build()
+
+    def _build_osd_corrector(self):
+        from ..decoders.drivers import BPOSDCorrect
+
+        opts = dict(self.osd_options or {})
+        opts.setdefault("max_iter", self.max_iter)
+        opts.setdefault("bp_method", self.bp_method)
+        opts.setdefault("ms_scaling_factor", self.ms_scaling_factor)
+        return BPOSDCorrect(self.code, self.rounds, opts,
+                            (self.data_prior, self.meas_prior))
 
     def _resolve_backend(self) -> bool:
         from ..decoders.spacetime_bp_pallas import fits_stbp_pallas
@@ -180,37 +203,58 @@ class StorageDecodePipeline:
         corrected = jnp.mod(readout + correction, 2.0)
         flips = jnp.mod(corrected @ self._Lz.T, 2.0)  # (S, k)
         failed = jnp.any(flips > 0.5, axis=1)
+        unconv = jnp.sum((~conv).astype(jnp.int32))
+        if self.osd_fallback_cap <= 0:
+            return (jnp.sum(failed.astype(jnp.int32)), jnp.int32(S), unconv)
+        # count plain-BP failures among CONVERGED shots only; compact the
+        # unconverged shots to the front and ship them for host-side OSD
+        cap = self.osd_fallback_cap
+        f_conv = jnp.sum((failed & conv).astype(jnp.int32))
+        order = jnp.argsort(conv.astype(jnp.int32), stable=True)[:cap]
         return (
-            jnp.sum(failed.astype(jnp.int32)),
+            f_conv,
             jnp.int32(S),
-            jnp.sum((~conv).astype(jnp.int32)),
+            unconv,
+            synd[order],
+            readout[order],
+            ~conv[order],
         )
 
     def _build(self):
         dense = self._dense_ops
+        fallback = self.osd_fallback_cap > 0
         if self.mesh is None:
             step = jax.jit(self._device_step)
-            return lambda key: tuple(
-                int(x) for x in step(key, dense, self._noise_args, self._prior))
+            if not fallback:
+                return lambda key: tuple(
+                    int(x) for x in step(key, dense, self._noise_args, self._prior))
+
+            def run_local(key):
+                f, s, u, synd, readout, valid = step(
+                    key, dense, self._noise_args, self._prior)
+                return int(f), int(s), int(u), synd, readout, valid
+
+            return run_local
 
         mesh = self.mesh
 
         def sharded(keys, dense_ops, noise_args, prior_llr):
-            f, s, u = self._device_step(keys[0], dense_ops, noise_args, prior_llr)
-            f = jax.lax.psum(f, DATA_AXIS)
-            s = jax.lax.psum(s, DATA_AXIS)
-            u = jax.lax.psum(u, DATA_AXIS)
-            return f, s, u
+            out = self._device_step(keys[0], dense_ops, noise_args, prior_llr)
+            f = jax.lax.psum(out[0], DATA_AXIS)
+            s = jax.lax.psum(out[1], DATA_AXIS)
+            u = jax.lax.psum(out[2], DATA_AXIS)
+            return (f, s, u) + out[3:]
 
         # check_vma=False: the BP while_loop carry starts from unvarying
         # constants (priors) and becomes data-varying inside the loop, which
         # the varying-manual-axes checker rejects; the computation is still
         # correctly per-shard SPMD.
+        out_specs = ((P(), P(), P()) + (P(DATA_AXIS),) * 3) if fallback else P()
         mapped = jax.shard_map(
             sharded,
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P(), P(), P()),
-            out_specs=P(),
+            out_specs=out_specs,
             check_vma=False,
         )
         jitted = jax.jit(mapped)
@@ -218,14 +262,44 @@ class StorageDecodePipeline:
 
         def run(key):
             keys = jax.random.split(key, n_data)
-            f, s, u = jitted(keys, dense, self._noise_args, self._prior)
-            return int(f), int(s), int(u)
+            out = jitted(keys, dense, self._noise_args, self._prior)
+            return tuple(int(x) for x in out[:3]) + tuple(out[3:])
 
         return run
 
     def run(self, key):
-        """key -> (logical_failures, total_shots, bp_unconverged_shots)."""
+        """key -> (logical_failures, total_shots, bp_unconverged_shots).
+
+        With ``osd_fallback_cap`` set this is :meth:`run_bposd` (failures
+        include the host-side OSD decode of the BP-unconverged shots)."""
+        if self.osd_fallback_cap > 0:
+            return self.run_bposd(key)
         return self._step(key)
+
+    def run_bposd(self, key):
+        """BP on device + OSD on the BP failures (host): key ->
+        (logical_failures, total_shots, osd_decoded_shots).  Matches the
+        reference ``bposd`` mode statistically: every shot's correction is
+        BP if BP converged, else BP+OSD on the full spacetime matrix."""
+        if self._osd is None:
+            raise ValueError("construct the pipeline with osd_fallback_cap > 0")
+        f_conv, shots, unconv, synd, readout, valid = self._step(key)
+        n_shards = 1 if self.mesh is None else self.mesh.shape[DATA_AXIS]
+        if unconv > self.osd_fallback_cap * n_shards:
+            raise RuntimeError(
+                f"{unconv} BP-unconverged shots exceed osd_fallback_cap="
+                f"{self.osd_fallback_cap} per device; raise the cap")
+        valid = np.asarray(valid)
+        if not valid.any():
+            return f_conv, shots, 0
+        synd = np.asarray(synd)[valid].astype(np.int64)
+        readout = np.asarray(readout)[valid].astype(np.int64)
+        corr = self._osd._bpd.decode_batch(synd)
+        final = self._osd._spacetime_code.final_correction(np.asarray(corr))
+        corrected = (readout + final) % 2
+        flips = (corrected @ np.asarray(self._Lz, dtype=np.int64).T) % 2
+        f_osd = int(np.any(flips != 0, axis=1).sum())
+        return f_conv + f_osd, shots, int(valid.sum())
 
     def rebind_noise(self, noise_model, data_prior: float, meas_prior: float):
         """Re-bind the pipeline to a new noise model / priors WITHOUT
@@ -247,6 +321,10 @@ class StorageDecodePipeline:
         self._prior = jnp.asarray(self.prior_llr)
         self.noise_model = noise_model
         self.storage_sim = sim
+        if self._osd is not None:
+            # the host corrector's BP program is cached by structure; only
+            # its prior vector changes here
+            self._osd = self._build_osd_corrector()
         return self
 
     def run_host_sampled(self, seed: int, shots: Optional[int] = None):

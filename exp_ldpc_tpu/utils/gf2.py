@@ -25,7 +25,6 @@ __all__ = [
     "column_space",
     "row_space",
     "get_pivots",
-    "solve_lower_triangular",
     "matmul_gf2",
 ]
 
@@ -201,5 +200,3 @@ def matmul_gf2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return unpack_rows(out, b.shape[1])
 
 
-def solve_lower_triangular(*args, **kwargs):  # pragma: no cover
-    raise NotImplementedError("reserved for the OSD back-substitution fast path")

@@ -175,3 +175,17 @@ def test_bsr_option_validation(code300):
         BSRBPDecoder.from_check_matrix(code300, error_rate=0.1, bp_method="xx")
     with pytest.raises(ValueError):
         BSRBPDecoder.from_check_matrix(code300, channel_probs=np.full(3, 0.1))
+
+
+def test_make_bp_decoder_bsr_routing(code300, monkeypatch):
+    """Large non-QC codes route to BSR when a TPU is present (monkeypatched
+    here), and fall back to the generic decoder on CPU backends."""
+    from exp_ldpc_tpu.decoders import select
+    from scipy import sparse
+
+    big = sparse.block_diag([code300] * 40).tocsr()  # 12000 vars: 'large'
+    dec = select.make_bp_decoder(big, error_rate=0.01)
+    assert isinstance(dec, BPDecoder)  # CPU backend: no Mosaic lowering
+    monkeypatch.setattr(select, "_bsr_usable", lambda t: True)
+    dec = select.make_bp_decoder(big, error_rate=0.01)
+    assert isinstance(dec, BSRBPDecoder)

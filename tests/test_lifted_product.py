@@ -16,7 +16,7 @@ from exp_ldpc_tpu.codes.lifted import (
 )
 from exp_ldpc_tpu.codes.qc_lifted import qc_lifted_product_code
 
-warnings.filterwarnings("ignore", message="Lifted Product codes is experimental")
+warnings.filterwarnings("ignore", message="lifted-product construction is an experimental surface")
 
 
 def test_random_abelian_generators():

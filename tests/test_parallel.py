@@ -50,3 +50,41 @@ def test_sharded_matches_unsharded_statistics(small_code):
     r_sh, r_si = f_sh / s_sh, f_si / s_si
     sigma = np.sqrt(max(r_si * (1 - r_si), 1e-4) / s_si) * 2
     assert abs(r_sh - r_si) < 5 * sigma + 0.02
+
+
+def test_pipeline_osd_fallback(small_code):
+    """run_bposd: device BP + host OSD on the BP failures.  OSD can only
+    help, so failures <= plain-BP failures, and both modes agree on shot
+    accounting; sharded and single-device fallback agree statistically."""
+    p = 0.03
+    kw = dict(
+        code=small_code, rounds=1, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p, max_iter=20,
+    )
+    plain = StorageDecodePipeline(shots_per_device=256, **kw)
+    fb = StorageDecodePipeline(shots_per_device=256, osd_fallback_cap=256, **kw)
+    key = jax.random.PRNGKey(3)
+    f_plain, s_plain, unconv = plain.run(key)
+    f_fb, s_fb, osd_count = fb.run_bposd(key)
+    assert s_plain == s_fb == 256
+    assert osd_count == unconv  # same key -> same sampled shots
+    assert f_fb <= f_plain
+    # sharded fallback: same statistics
+    fb_mesh = StorageDecodePipeline(
+        shots_per_device=32, osd_fallback_cap=32, mesh=make_mesh(8), **kw)
+    f_m, s_m, osd_m = fb_mesh.run_bposd(jax.random.PRNGKey(4))
+    assert s_m == 256
+    assert 0 <= f_m <= s_m and 0 <= osd_m <= s_m
+
+
+def test_pipeline_osd_fallback_validation(small_code):
+    p = 0.01
+    kw = dict(
+        code=small_code, rounds=1, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p, max_iter=10,
+    )
+    with pytest.raises(ValueError):
+        StorageDecodePipeline(shots_per_device=32, osd_fallback_cap=64, **kw)
+    plain = StorageDecodePipeline(shots_per_device=32, **kw)
+    with pytest.raises(ValueError):
+        plain.run_bposd(jax.random.PRNGKey(0))
