@@ -2,6 +2,7 @@
 OSD post-processing, spacetime/DEM matrix builders, and decode-mode drivers.
 """
 from .bp import BPDecoder, bp_decode_batch, priors_to_llr
+from .bp_int8 import Int8BPDecoder
 from .bposd import BPOSDDecoder
 from .flip import FlipDecoder, SmallSetFlipDecoder
 from .qc_bp import QCBPDecoder, QCStructure
@@ -14,6 +15,7 @@ from .tanner import TannerELL
 
 __all__ = [
     "BPDecoder",
+    "Int8BPDecoder",
     "BPOSDDecoder",
     "FlipDecoder",
     "SmallSetFlipDecoder",

@@ -36,36 +36,56 @@ def main():
     ap.add_argument("--max-iter", type=int, default=48)
     ap.add_argument("--crosscheck-samples", type=int, default=2000)
     ap.add_argument("--skip-crosscheck", action="store_true")
+    ap.add_argument("--noise", choices=("pheno", "circuit"), default="pheno",
+                    help="pheno = depolarizing data noise + measurement "
+                         "flips; circuit = DEPOLARIZE2 after 2q gates + "
+                         "idle DEPOLARIZE1 + measurement flips")
+    ap.add_argument("--out", type=str, default=None,
+                    help="append JSONL records to this file")
     args = ap.parse_args()
 
     import jax
 
-    from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+    from exp_ldpc_tpu.circuits.noise import circuit_noise, depolarizing_noise
     from exp_ldpc_tpu.codes.hgp import biregular_hgp
     from exp_ldpc_tpu.experiments.p_sweep import parse_sweep_spec
     from exp_ldpc_tpu.parallel.pipeline import StorageDecodePipeline
+
+    make_noise = circuit_noise if args.noise == "circuit" else depolarizing_noise
 
     lo, hi, pts = parse_sweep_spec(args.p_grid)
     p_grid = np.geomspace(lo, hi, pts)
 
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
+    if args.noise == "circuit":
+        # depth-aware data prior: every data qubit sees ~(x_steps + z_steps)
+        # 2q-gate slots per round, each a DEPOLARIZE2 fault location
+        steps = max(int(code.checks.x.sum(axis=0).max()),
+                    int(code.checks.x.sum(axis=1).max())) + max(
+                        int(code.checks.z.sum(axis=0).max()),
+                        int(code.checks.z.sum(axis=1).max()))
+        priors = lambda p: (p * steps, p)  # noqa: E731
+    else:
+        priors = lambda p: (2 / 3 * p, 2 / 3 * p)  # noqa: E731
     results = []
     pipe = None
     for i, p in enumerate(p_grid):
+        dp, mp = priors(p)
         if pipe is None:
             pipe = StorageDecodePipeline(
-                code=code, rounds=args.rounds, noise_model=depolarizing_noise(p, p),
-                data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+                code=code, rounds=args.rounds, noise_model=make_noise(p, p),
+                data_prior=dp, meas_prior=mp,
                 shots_per_device=args.samples, max_iter=args.max_iter,
                 bp_method="ms", ms_scaling_factor=0.625)
         else:
             # one compile serves the whole grid: only probability values change
-            pipe.rebind_noise(depolarizing_noise(p, p), 2 / 3 * p, 2 / 3 * p)
+            pipe.rebind_noise(make_noise(p, p), dp, mp)
         t0 = time.perf_counter()
         fails, shots, unconv = pipe.run(jax.random.PRNGKey(100 + i))
         dt = time.perf_counter() - t0
         low, high = wilson_interval(fails, shots)
         rec = {
+            "noise": args.noise,
             "p_ph": float(p), "failures": fails, "samples": shots,
             "ler": fails / shots, "ler_ci_low": low, "ler_ci_high": high,
             "bp_unconverged": unconv, "walltime": dt,
@@ -84,7 +104,8 @@ def main():
         # sampler: any statistical gap isolates to the samplers
         p = float(p_grid[-1])
         n = args.crosscheck_samples
-        pipe.rebind_noise(depolarizing_noise(p, p), 2 / 3 * p, 2 / 3 * p)
+        dp, mp = priors(p)
+        pipe.rebind_noise(make_noise(p, p), dp, mp)
         fails_host, n, _u = pipe.run_host_sampled(seed=999, shots=n)
         dev = results[-1]
         # pooled two-proportion z-test at 2 sigma
@@ -98,6 +119,11 @@ def main():
         print(json.dumps(rec, default=float), flush=True)
         if not rec["agree"]:
             return 1
+
+    if args.out:
+        with open(args.out, "a") as f:
+            for r in results:
+                f.write(json.dumps(r, default=float) + "\n")
     return 0
 
 
