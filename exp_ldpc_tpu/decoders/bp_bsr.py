@@ -56,7 +56,8 @@ from scipy import sparse
 from .bp import priors_to_llr
 from .tanner import TannerELL
 
-__all__ = ["BSRSchedule", "bsr_bp_decode", "fits_bsr", "BSRBPDecoder"]
+__all__ = ["BSRSchedule", "bsr_bp_decode", "bsr_bp_decode_int8", "fits_bsr",
+           "BSRBPDecoder"]
 
 _BIG = 1e30
 _PHI_CLAMP_LO = 1e-7
@@ -320,6 +321,214 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
 
 
+_SAT = 127           # int8 message saturation magnitude
+_ALPHA_SHIFT = 8     # min-sum scaling as alpha_num / 2^8, exact in ints
+_DEAD = 2 * _SAT     # dead-edge-row routed value: stays +_SAT after exclusion
+
+
+def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
+                 post_ref, conv_ref, iters_ref,
+                 msg_ref, par_ref, done_ref,
+                 *, sched: BSRSchedule, max_iter: int, alpha_num: int,
+                 early_stop: bool):
+    """int8 fixed-point min-sum variant of :func:`_kernel`.
+
+    Integer math identical to :func:`~exp_ldpc_tpu.decoders.bp_int8.
+    _int8_bp_core` (saturating posteriors, exact rational scaling), so the
+    two kernels are BIT-EXACT against each other in fixed-iteration mode —
+    the strongest cross-backend check available.  Messages are int8 (half
+    the bf16 kernel's VMEM/bandwidth); the routing dots cast through bf16,
+    which represents every int in [-127, 127] exactly and accumulates in
+    f32 (exact below 2^24), so no integer-MXU support is required.
+    """
+    C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
+    n_cc = C_pad // _TILE
+    S = synd_ref.shape[1]
+    f32, i32 = jnp.float32, jnp.int32
+
+    def onehot(t):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+        return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+
+    def etile_bf16(i):
+        return msg_ref[i * _TILE:(i + 1) * _TILE, :].astype(jnp.bfloat16)
+
+    # ---- init: v2c = saturated prior at each edge's variable, +SAT on pads
+    for et, pairs in enumerate(sched.sched_g):
+        col = maski_t_ref[:, et:et + 1].astype(f32)  # _DEAD on dead rows
+        for vt, t in pairs:
+            pcol = prior8_t_ref[:, vt:vt + 1].astype(jnp.bfloat16)
+            col = col + jax.lax.dot_general(
+                onehot(t), pcol, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        col = jnp.clip(col.astype(i32), -_SAT, _SAT)
+        msg_ref[et * _TILE:(et + 1) * _TILE, :] = jnp.broadcast_to(
+            col, (_TILE, S)).astype(jnp.int8)
+
+    done_ref[0] = 0
+    done_ref[1] = max_iter
+
+    def body(it, _):
+        def active():
+            # ---- integer min-sum check update, streaming over planes
+            for cc in range(n_cc):
+                rows = slice(cc * _TILE, (cc + 1) * _TILE)
+                synd_i = synd_ref[rows, :].astype(i32)
+
+                def plane(s):
+                    return msg_ref[s * C_pad + cc * _TILE:
+                                   s * C_pad + (cc + 1) * _TILE, :].astype(i32)
+
+                p = plane(0)
+                neg_tot = synd_i + (p < 0).astype(i32)
+                min1 = jnp.abs(p)
+                min2 = jnp.full_like(min1, _SAT + 1)
+                arg = jnp.zeros_like(min1)
+                for s in range(1, Dc):
+                    p = plane(s)
+                    neg_tot = neg_tot + (p < 0).astype(i32)
+                    m = jnp.abs(p)
+                    lt = m < min1
+                    min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+                    arg = jnp.where(lt, s, arg)
+                    min1 = jnp.where(lt, m, min1)
+                for s in range(Dc):
+                    p = plane(s)
+                    ext = jnp.where(arg == s, min2, min1)
+                    scaled = (ext * alpha_num) >> _ALPHA_SHIFT
+                    ext_neg = (neg_tot + (p < 0).astype(i32)) % 2 == 1
+                    out = jnp.where(ext_neg, -scaled, scaled)
+                    msg_ref[s * C_pad + cc * _TILE:
+                            s * C_pad + (cc + 1) * _TILE, :] = (
+                        out.astype(jnp.int8))
+
+            # ---- variable totals on the MXU (exact: int8 values in bf16)
+            for vt, pairs in enumerate(sched.sched_m):
+                tot = jnp.zeros((_TILE, S), f32)
+                for et, t in pairs:
+                    tot = tot + jnp.dot(onehot(t), etile_bf16(et),
+                                        preferred_element_type=f32)
+                post_ref[vt * _TILE:(vt + 1) * _TILE, :] = (
+                    prior_t_ref[:, vt:vt + 1] + tot.astype(i32))
+
+            # ---- edge broadcast of the saturated posterior + parity
+            par_ref[:] = jnp.zeros((C_pad, S), i32)
+            for et, pairs in enumerate(sched.sched_g):
+                acc = jnp.broadcast_to(
+                    maski_t_ref[:, et:et + 1].astype(f32), (_TILE, S))
+                for vt, t in pairs:
+                    pb = jnp.clip(post_ref[vt * _TILE:(vt + 1) * _TILE, :],
+                                  -_SAT, _SAT).astype(jnp.bfloat16)
+                    acc = acc + jax.lax.dot_general(
+                        onehot(t), pb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                acc_i = acc.astype(i32)  # post8[var(e)], or _DEAD on pads
+                coff = (et * _TILE) % C_pad
+                par_ref[coff:coff + _TILE, :] = (
+                    par_ref[coff:coff + _TILE, :] + (acc_i <= 0).astype(i32))
+                rows = slice(et * _TILE, (et + 1) * _TILE)
+                v2c = jnp.clip(acc_i - msg_ref[rows, :].astype(i32),
+                               -_SAT, _SAT)
+                msg_ref[rows, :] = v2c.astype(jnp.int8)
+
+            if early_stop:
+                bad = jnp.zeros((1, S), i32)
+                for cc in range(n_cc):
+                    rows = slice(cc * _TILE, (cc + 1) * _TILE)
+                    par2 = par_ref[rows, :] % 2
+                    bad = bad + jnp.sum(
+                        jnp.abs(par2 - synd_ref[rows, :].astype(i32)),
+                        axis=0, keepdims=True)
+
+                @pl.when(jnp.max(bad) < 1)
+                def _():
+                    done_ref[0] = 1
+                    done_ref[1] = it + 1
+
+        if early_stop:
+            pl.when(done_ref[0] == 0)(active)
+        else:
+            active()
+        return 0
+
+    jax.lax.fori_loop(0, max_iter, body, 0)
+
+    bad = jnp.zeros((1, S), i32)
+    for cc in range(n_cc):
+        rows = slice(cc * _TILE, (cc + 1) * _TILE)
+        par2 = par_ref[rows, :] % 2
+        bad = bad + jnp.sum(
+            jnp.abs(par2 - synd_ref[rows, :].astype(i32)),
+            axis=0, keepdims=True)
+    conv_ref[:] = jnp.broadcast_to((bad < 1).astype(f32), conv_ref.shape)
+    iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
+
+
+@partial(jax.jit, static_argnames=("sched", "max_iter", "alpha_num",
+                                   "early_stop", "shot_block", "interpret"))
+def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
+                       max_iter: int, alpha_num: int,
+                       early_stop: bool = True, shot_block: int = 128,
+                       interpret: bool = False):
+    """int8 BSR decode.  ``prior_q`` are int32 LLR quanta
+    (:func:`~exp_ldpc_tpu.decoders.bp_int8.quantize_priors`); the returned
+    posterior is in quanta (int32) — scale by delta for LLR units."""
+    C, V = sched.num_checks, sched.num_vars
+    C_pad, V_pad = sched.c_pad, sched.v_pad
+    Cs, S = syndromes.shape
+    assert Cs == C
+    S_pad = _round_up(S, shot_block)
+
+    synd = jnp.zeros((C_pad, S_pad), jnp.int8)
+    synd = synd.at[:C, :S].set(syndromes.astype(jnp.int8))
+
+    n_vt = V_pad // _TILE
+    prior_pad = jnp.pad(jnp.asarray(prior_q, jnp.int32), (0, V_pad - V))
+    prior_t = prior_pad.reshape(n_vt, _TILE).T
+    prior8_t = jnp.clip(prior_t, -_SAT, _SAT)
+
+    maski_t = np.where(sched.mask_t > 0, _DEAD, 0).astype(np.int32)
+
+    kernel = partial(_kernel_int8, sched=sched, max_iter=max_iter,
+                     alpha_num=int(alpha_num), early_stop=early_stop)
+
+    grid = (S_pad // shot_block,)
+    blk = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, shot_block), lambda s: (0, s), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    post, conv, iters = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk(C_pad),
+            full(prior_t.shape),
+            full(prior8_t.shape),
+            full(maski_t.shape),
+            full(sched.idx.shape),
+        ],
+        out_specs=[blk(V_pad), blk(8), blk(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((V_pad, S_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sched.e_pad, shot_block), jnp.int8),   # messages
+            pltpu.VMEM((C_pad, shot_block), jnp.int32),        # parity
+            pltpu.SMEM((2,), jnp.int32),                       # done, iter
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20) if not interpret else None,
+        interpret=interpret,
+    )(synd, prior_t, prior8_t, jnp.asarray(maski_t), jnp.asarray(sched.idx))
+
+    posterior = post[:V, :S]
+    hard = (posterior <= 0).astype(jnp.uint8)
+    return hard, posterior, conv[0, :S] > 0.5, iters[0, :S].astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("sched", "method", "max_iter",
                                    "ms_scaling_factor", "early_stop",
                                    "shot_block", "interpret"))
@@ -404,6 +613,10 @@ class BSRBPDecoder:
     interpret: bool = False
     check_perm: Optional[np.ndarray] = None
     inv_var_perm: Optional[np.ndarray] = None  # old -> new
+    # "bfloat16" (default, any method) or "int8" (fixed-point min-sum:
+    # half the VMEM/bandwidth, bit-exact vs decoders.bp_int8)
+    msg_dtype: str = "bfloat16"
+    prior_quanta: int = 24
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
@@ -412,6 +625,18 @@ class BSRBPDecoder:
         object.__setattr__(self, "method", method)
         if self.max_iter <= 0:
             object.__setattr__(self, "max_iter", self.sched.num_vars)
+        if self.msg_dtype not in ("bfloat16", "int8"):
+            raise ValueError(f"unknown msg_dtype {self.msg_dtype!r}")
+        if self.msg_dtype == "int8":
+            if self.method != "ms":
+                raise ValueError("int8 BSR supports min-sum only")
+            if not 0 < self.ms_scaling_factor <= 1:
+                raise ValueError(
+                    "int8 BSR needs a fixed scaling factor in (0, 1]")
+            from .bp_int8 import quantize_priors
+            q, delta = quantize_priors(self.prior_llr, self.prior_quanta)
+            object.__setattr__(self, "_prior_q", q)
+            object.__setattr__(self, "_delta", delta)
 
     @classmethod
     def from_check_matrix(
@@ -428,6 +653,8 @@ class BSRBPDecoder:
         interpret: bool = False,
         check_perm: Optional[np.ndarray] = None,
         var_perm: Optional[np.ndarray] = None,
+        msg_dtype: str = "bfloat16",
+        prior_quanta: int = 24,
         **_ignored,
     ) -> "BSRBPDecoder":
         H = sparse.csr_matrix(H)
@@ -463,23 +690,39 @@ class BSRBPDecoder:
             interpret=interpret,
             check_perm=check_perm,
             inv_var_perm=inv_var_perm,
+            msg_dtype=msg_dtype,
+            prior_quanta=prior_quanta,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
         syndromes = np.asarray(syndromes, dtype=np.uint8)
         if self.check_perm is not None:
             syndromes = syndromes[:, self.check_perm]
-        hard, post, conv, iters = bsr_bp_decode(
-            self.sched,
-            jnp.asarray(self.prior_llr),
-            jnp.asarray(syndromes).T,
-            self.method,
-            self.max_iter,
-            float(self.ms_scaling_factor),
-            self.early_stop,
-            self.shot_block,
-            self.interpret,
-        )
+        if self.msg_dtype == "int8":
+            alpha_num = int(round(self.ms_scaling_factor * 256))
+            hard, post, conv, iters = bsr_bp_decode_int8(
+                self.sched,
+                jnp.asarray(self._prior_q),
+                jnp.asarray(syndromes).T,
+                self.max_iter,
+                alpha_num,
+                self.early_stop,
+                self.shot_block,
+                self.interpret,
+            )
+            post = post.astype(jnp.float32) * self._delta
+        else:
+            hard, post, conv, iters = bsr_bp_decode(
+                self.sched,
+                jnp.asarray(self.prior_llr),
+                jnp.asarray(syndromes).T,
+                self.method,
+                self.max_iter,
+                float(self.ms_scaling_factor),
+                self.early_stop,
+                self.shot_block,
+                self.interpret,
+            )
         hard, post = hard.T, post.T
         if self.inv_var_perm is not None:
             hard = jnp.asarray(hard)[:, self.inv_var_perm]

@@ -189,3 +189,63 @@ def test_make_bp_decoder_bsr_routing(code300, monkeypatch):
     monkeypatch.setattr(select, "_bsr_usable", lambda t: True)
     dec = select.make_bp_decoder(big, error_rate=0.01)
     assert isinstance(dec, BSRBPDecoder)
+
+
+def test_bsr_int8_bitexact_vs_xla_int8(code300):
+    """Fixed-iteration int8 BSR == the XLA int8 kernel, exactly (integer
+    math is order-independent, so the two backends must agree bit-for-bit
+    on posterior quanta, hard decisions, and convergence flags)."""
+    from exp_ldpc_tpu.decoders.bp_int8 import Int8BPDecoder, _int8_bp_core, _int8_dense_ops
+    from exp_ldpc_tpu.decoders.tanner import TannerELL
+
+    H = code300
+    rng = np.random.default_rng(21)
+    synd = rng.integers(0, 2, size=(64, 150)).astype(np.uint8)
+
+    xla = Int8BPDecoder.from_check_matrix(
+        H, error_rate=3e-3, max_iter=6, early_stop=False)
+    h_x, p_x, c_x, _ = xla.decode_batch(synd)
+
+    bsr = BSRBPDecoder.from_check_matrix(
+        H, error_rate=3e-3, max_iter=6, bp_method="ms",
+        ms_scaling_factor=0.625, early_stop=False, shot_block=64,
+        interpret=True, msg_dtype="int8")
+    assert bsr._delta == xla.delta
+    h_b, p_b, c_b, _ = bsr.decode_batch(synd)
+
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_x))
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(c_b), np.asarray(c_x))
+
+
+def test_bsr_int8_early_exit_and_validity(code300):
+    """Early-stop int8 BSR: converged shots satisfy their syndromes and the
+    zero syndrome exits on iteration 1."""
+    H = code300
+    rng = np.random.default_rng(5)
+    errors = (rng.random((32, 300)) < 5e-3).astype(np.uint8)
+    synd = (errors @ H.T) % 2
+    synd[0] = 0
+    dec = BSRBPDecoder.from_check_matrix(
+        H, error_rate=5e-3, max_iter=30, bp_method="ms",
+        ms_scaling_factor=0.625, shot_block=32, interpret=True,
+        msg_dtype="int8")
+    hard, _post, conv, iters = dec.decode_batch(synd)
+    hard, conv = np.asarray(hard), np.asarray(conv)
+    assert conv[0]
+    assert conv.mean() > 0.8
+    resid = (hard @ H.T) % 2
+    np.testing.assert_array_equal(resid[conv], synd[conv])
+
+
+def test_bsr_int8_option_validation(code300):
+    with pytest.raises(ValueError, match="min-sum only"):
+        BSRBPDecoder.from_check_matrix(
+            code300, error_rate=1e-3, bp_method="ps", msg_dtype="int8")
+    with pytest.raises(ValueError, match="scaling factor"):
+        BSRBPDecoder.from_check_matrix(
+            code300, error_rate=1e-3, bp_method="ms",
+            ms_scaling_factor=0.0, msg_dtype="int8")
+    with pytest.raises(ValueError, match="msg_dtype"):
+        BSRBPDecoder.from_check_matrix(
+            code300, error_rate=1e-3, msg_dtype="fp8")
