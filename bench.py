@@ -66,23 +66,25 @@ def main():
         total, _ = jax.lax.scan(step, jnp.int32(0), synds)
         return total  # tiny device->host transfer
 
-    lo = jax.device_put(make_syndromes(reps_lo))
-    hi = jax.device_put(make_syndromes(reps_hi))
+    # distinct batch per timing sample: remote backends can deduplicate
+    # IDENTICAL dispatches, which would fake the slope (CLAUDE.md)
+    los = [jax.device_put(make_syndromes(reps_lo)) for _ in range(3)]
+    his = [jax.device_put(make_syndromes(reps_hi)) for _ in range(3)]
 
     # warmup/compile both shapes
-    run_many(lo).block_until_ready()
-    run_many(hi).block_until_ready()
+    run_many(los[0]).block_until_ready()
+    run_many(his[0]).block_until_ready()
 
-    def timed(x):
+    def timed(xs):
         best = np.inf
-        for _ in range(3):
+        for x in xs:
             t0 = time.perf_counter()
             run_many(x).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo = timed(lo)
-    t_hi = timed(hi)
+    t_lo = timed(los)
+    t_hi = timed(his)
     per_batch = (t_hi - t_lo) / (reps_hi - reps_lo)
 
     value = iters * shots / per_batch

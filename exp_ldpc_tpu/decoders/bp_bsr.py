@@ -176,8 +176,15 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
             post_ref, conv_ref, iters_ref,
             msg_ref, par_ref, done_ref,
             *, sched: BSRSchedule, method: str, max_iter: int,
-            alpha0: float, adaptive: bool, early_stop: bool):
-    """One shot block, all iterations, messages resident in VMEM."""
+            alpha0: float, adaptive: bool, early_stop: bool,
+            ablate: str = ""):
+    """One shot block, all iterations, messages resident in VMEM.
+
+    ``ablate`` is a profiling hook (scripts/bench_bsr_ablation.py) that
+    disables one cost center to expose the kernel's time breakdown:
+    "no_check" skips the check update, "no_route" replaces both routing
+    passes with a copy.  Production callers leave it empty.
+    """
     C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
     n_cc = C_pad // _TILE
     S = synd_ref.shape[1]
@@ -213,7 +220,7 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                 alpha = alpha0
             # two streaming passes keep only O(1) (128, S) registers live
             # (holding all Dc planes at once overflows the VMEM stack)
-            for cc in range(n_cc):
+            for cc in range(n_cc) if ablate != "no_check" else ():
                 rows = slice(cc * _TILE, (cc + 1) * _TILE)
                 synd_sign = 1.0 - 2.0 * synd_ref[rows, :].astype(f32)
 
@@ -259,7 +266,21 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                             out.astype(jnp.bfloat16))
 
             # ---- variable totals: BSR tiles onto the MXU
-            for vt, pairs in enumerate(sched.sched_m):
+            if ablate == "no_route":
+                # copy-through stand-in keeping the loop-carried dependency
+                for vt in range(V_pad // _TILE):
+                    post_ref[vt * _TILE:(vt + 1) * _TILE, :] = (
+                        jnp.broadcast_to(prior_t_ref[:, vt:vt + 1],
+                                         (_TILE, S)))
+                par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
+                for et in range(sched.e_pad // _TILE):
+                    rows = slice(et * _TILE, (et + 1) * _TILE)
+                    msg_ref[rows, :] = (-msg_ref[rows, :].astype(f32)).astype(
+                        jnp.bfloat16)
+                route_pairs = ()
+            else:
+                route_pairs = tuple(enumerate(sched.sched_m))
+            for vt, pairs in route_pairs:
                 tot = jnp.broadcast_to(prior_t_ref[:, vt:vt + 1], (_TILE, S))
                 for et, t in pairs:
                     tot = tot + jnp.dot(onehot(t), etile(et),
@@ -267,8 +288,9 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                 post_ref[vt * _TILE:(vt + 1) * _TILE, :] = tot
 
             # ---- edge broadcast (transposed tiles) + in-flight parity
-            par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
-            for et, pairs in enumerate(sched.sched_g):
+            if route_pairs:
+                par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
+            for et, pairs in (enumerate(sched.sched_g) if route_pairs else ()):
                 acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
                 for vt, t in pairs:
                     pb = post_ref[vt * _TILE:(vt + 1) * _TILE, :].astype(
@@ -531,10 +553,11 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
 
 @partial(jax.jit, static_argnames=("sched", "method", "max_iter",
                                    "ms_scaling_factor", "early_stop",
-                                   "shot_block", "interpret"))
+                                   "shot_block", "interpret", "ablate"))
 def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
                   max_iter: int, ms_scaling_factor, early_stop: bool = True,
-                  shot_block: int = 128, interpret: bool = False):
+                  shot_block: int = 128, interpret: bool = False,
+                  ablate: str = ""):
     """syndromes (C, S) uint8 -> (hard (V,S) uint8, posterior (V,S) f32,
     converged (S,) bool, iters (S,) int32) — the ``_bp_core`` contract
     (global early exit, see module docstring)."""
@@ -555,7 +578,7 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
     kernel = partial(_kernel, sched=sched, method=method, max_iter=max_iter,
                      alpha0=float(ms_scaling_factor),
                      adaptive=float(ms_scaling_factor) == 0.0,
-                     early_stop=early_stop)
+                     early_stop=early_stop, ablate=ablate)
 
     grid = (S_pad // shot_block,)
     blk = lambda r: pl.BlockSpec(  # noqa: E731

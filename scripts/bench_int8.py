@@ -62,22 +62,23 @@ def bench(name, H, *, kind, shots, iters, p, reps_lo=8, reps_hi=64):
             acc, _ = jax.lax.scan(step, (jnp.int32(0), jnp.int32(0)), ss)
             return acc
 
-    lo, hi = jax.device_put(synds(reps_lo)), jax.device_put(synds(reps_hi))
+    los = [jax.device_put(synds(reps_lo)) for _ in range(3)]
+    his = [jax.device_put(synds(reps_hi)) for _ in range(3)]
     t0 = time.perf_counter()
-    conv_lo = run_many(lo)
+    conv_lo = run_many(los[0])
     conv_lo[1].block_until_ready()
     compile_s = time.perf_counter() - t0
-    run_many(hi)[0].block_until_ready()
+    run_many(his[0])[0].block_until_ready()
 
-    def timed(x):
+    def timed(xs):
         best = np.inf
-        for _ in range(3):
+        for x in xs:
             t0 = time.perf_counter()
             run_many(x)[0].block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per = (timed(hi) - timed(lo)) / (reps_hi - reps_lo)
+    per = (timed(his) - timed(los)) / (reps_hi - reps_lo)
     return {
         "code": name,
         "kind": kind,

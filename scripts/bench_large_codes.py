@@ -22,14 +22,17 @@ import numpy as np
 
 
 def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
-               qc_perms=None, bsr=False):
+               qc_perms=None, bsr=False, bsr_int8=False):
     import jax
     import jax.numpy as jnp
 
     from exp_ldpc_tpu.decoders.bp import (
         _bp_core, dense_ops_device, priors_to_llr, resolve_use_matmul,
     )
-    from exp_ldpc_tpu.decoders.bp_bsr import BSRSchedule, bsr_bp_decode
+    from exp_ldpc_tpu.decoders.bp_bsr import (
+        BSRSchedule, bsr_bp_decode, bsr_bp_decode_int8,
+    )
+    from exp_ldpc_tpu.decoders.bp_int8 import quantize_priors
     from exp_ldpc_tpu.decoders.qc_bp import QCStructure, _qc_bp_core
     from exp_ldpc_tpu.decoders.tanner import TannerELL
 
@@ -40,10 +43,16 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
         H = H[check_perm][:, var_perm] if check_perm is not None else H[:, var_perm]
     tanner = TannerELL.from_check_matrix(H)
     sched = None
-    if bsr:
+    prior_q = None
+    if bsr or bsr_int8:
         struct = None
         sched = BSRSchedule.from_tanner(tanner)
-        formulation = f"bsr[{sched.num_tiles} tiles]"
+        formulation = (f"bsr-int8[{sched.num_tiles} tiles]" if bsr_int8
+                       else f"bsr[{sched.num_tiles} tiles]")
+        if bsr_int8:
+            prior_q, _delta = quantize_priors(
+                priors_to_llr(np.full(tanner.num_vars, p)))
+            prior_q = jnp.asarray(prior_q)
     elif qc_dims is not None:
         struct = QCStructure.from_check_matrix(H, qc_dims)
         formulation = f"qc-roll{qc_dims}"
@@ -66,7 +75,11 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
     @jax.jit
     def run_many(ss):
         def step(carry, synd):
-            if sched is not None:
+            if sched is not None and bsr_int8:
+                hard, _post, conv, _it = bsr_bp_decode_int8(
+                    sched, prior_q, synd, iters, 160, False
+                )
+            elif sched is not None:
                 hard, _post, conv, _it = bsr_bp_decode(
                     sched, prior, synd, "ms", iters, 0.625, False
                 )
@@ -84,22 +97,26 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
         (tot, conv), _ = jax.lax.scan(step, (jnp.int32(0), jnp.int32(0)), ss)
         return tot, conv
 
-    lo, hi = jax.device_put(synds(reps_lo)), jax.device_put(synds(reps_hi))
+    # remote backends can deduplicate IDENTICAL dispatches (CLAUDE.md: a
+    # repeated-call timing loop once measured a bogus 31B iter*shots/s), so
+    # every timing sample gets its own distinct input batch
+    los = [jax.device_put(synds(reps_lo)) for _ in range(3)]
+    his = [jax.device_put(synds(reps_hi)) for _ in range(3)]
     t0 = time.perf_counter()
-    _, conv = run_many(lo)
+    _, conv = run_many(los[0])
     conv.block_until_ready()
     compile_s = time.perf_counter() - t0
-    run_many(hi)[0].block_until_ready()
+    run_many(his[0])[0].block_until_ready()
 
-    def timed(x):
+    def timed(xs):
         best = np.inf
-        for _ in range(3):
+        for x in xs:
             t0 = time.perf_counter()
             run_many(x)[0].block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per = (timed(hi) - timed(lo)) / (reps_hi - reps_lo)
+    per = (timed(his) - timed(los)) / (reps_hi - reps_lo)
     rate = iters * shots / per
     return {
         "code": name,
@@ -138,18 +155,20 @@ def main():
     cyc_meta = cyclic.qc_meta
     cyc_perms = (cyc_meta.z_check_perm, cyc_meta.qubit_perm)
 
-    # (name, H, qc_dims, qc_perms, bsr)
+    # (name, H, qc_dims, qc_perms, bsr, bsr_int8)
     cases = [
-        ("gross_144_12_12", gross_H, None, None, False),
-        ("gross_144_12_12", gross_H, (12, 6), None, False),
-        ("qclp_1054_140", qclp_H, None, None, False),
-        ("qclp_1054_140", qclp_H, (31,), None, False),
-        ("qclp_1054_140", qclp_H, None, None, True),
-        ("cyclic_lp_4862", cyclic_H, None, None, False),
+        ("gross_144_12_12", gross_H, None, None, False, False),
+        ("gross_144_12_12", gross_H, (12, 6), None, False, False),
+        ("qclp_1054_140", qclp_H, None, None, False, False),
+        ("qclp_1054_140", qclp_H, (31,), None, False, False),
+        ("qclp_1054_140", qclp_H, None, None, True, False),
+        ("qclp_1054_140", qclp_H, None, None, False, True),
+        ("cyclic_lp_4862", cyclic_H, None, None, False, False),
         # the 1332-monomial abelian LP exceeds the roll kernel's unroll
         # limit; its fast path is the BSR tile kernel (QC ordering improves
         # tile locality: 548 vs 692 tiles)
-        ("cyclic_lp_4862", cyclic_H, None, cyc_perms, True),
+        ("cyclic_lp_4862", cyclic_H, None, cyc_perms, True, False),
+        ("cyclic_lp_4862", cyclic_H, None, cyc_perms, False, True),
     ]
     from exp_ldpc_tpu.decoders.select import _QC_MAX_MONOMIALS
     cases = [
@@ -158,10 +177,11 @@ def main():
     ]
 
     out = []
-    for name, H, qc_dims, qc_perms, bsr in cases:
+    for name, H, qc_dims, qc_perms, bsr, bsr_int8 in cases:
         rec = bench_code(
             name, H, shots=args.shots, iters=args.iters, p=args.p,
             reps_lo=4, reps_hi=16, qc_dims=qc_dims, qc_perms=qc_perms, bsr=bsr,
+            bsr_int8=bsr_int8,
         )
         print(json.dumps(rec))
         out.append(rec)
