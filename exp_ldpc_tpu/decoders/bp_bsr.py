@@ -174,7 +174,7 @@ def _phi(x):
 
 def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
             post_ref, conv_ref, iters_ref,
-            msg_ref, par_ref, done_ref,
+            msg_ref, par_ref, done_ref, oh_ref=None,
             *, sched: BSRSchedule, method: str, max_iter: int,
             alpha0: float, adaptive: bool, early_stop: bool,
             ablate: str = ""):
@@ -184,15 +184,32 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     disables one cost center to expose the kernel's time breakdown:
     "no_check" skips the check update, "no_route" replaces both routing
     passes with a copy.  Production callers leave it empty.
+
+    With ``oh_ref`` given, the 128x128 one-hot routing tiles are MATERIALIZED
+    into VMEM scratch once (first grid step; scratch persists across the
+    sequential TPU grid) and re-read by every dot — the iota-compare build
+    otherwise costs ~128^2 VPU ops per tile per pass per ITERATION, which at
+    ~550 tiles rivals the MXU budget itself.
     """
     C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
     n_cc = C_pad // _TILE
     S = synd_ref.shape[1]
     f32 = jnp.float32
 
-    def onehot(t):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
-        return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+    if oh_ref is not None:
+        @pl.when(pl.program_id(0) == 0)
+        def _build_onehots():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+            for t in range(sched.num_tiles):
+                oh_ref[t * _TILE:(t + 1) * _TILE, :] = (
+                    rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+
+        def onehot(t):
+            return oh_ref[t * _TILE:(t + 1) * _TILE, :]
+    else:
+        def onehot(t):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+            return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
 
     def etile(i):
         return msg_ref[i * _TILE:(i + 1) * _TILE, :]
@@ -350,7 +367,7 @@ _DEAD = 2 * _SAT     # dead-edge-row routed value: stays +_SAT after exclusion
 
 def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                  post_ref, conv_ref, iters_ref,
-                 msg_ref, par_ref, done_ref,
+                 msg_ref, par_ref, done_ref, oh_ref=None,
                  *, sched: BSRSchedule, max_iter: int, alpha_num: int,
                  early_stop: bool):
     """int8 fixed-point min-sum variant of :func:`_kernel`.
@@ -368,9 +385,20 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
     S = synd_ref.shape[1]
     f32, i32 = jnp.float32, jnp.int32
 
-    def onehot(t):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
-        return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+    if oh_ref is not None:
+        @pl.when(pl.program_id(0) == 0)
+        def _build_onehots():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+            for t in range(sched.num_tiles):
+                oh_ref[t * _TILE:(t + 1) * _TILE, :] = (
+                    rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+
+        def onehot(t):
+            return oh_ref[t * _TILE:(t + 1) * _TILE, :]
+    else:
+        def onehot(t):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+            return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
 
     def etile_bf16(i):
         return msg_ref[i * _TILE:(i + 1) * _TILE, :].astype(jnp.bfloat16)
@@ -486,12 +514,25 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
 
 
+def _resolve_onehot_vmem(sched: BSRSchedule, shot_block: int, msg_bytes: int,
+                         onehot_vmem) -> bool:
+    """Auto: materialize one-hot tiles in VMEM when total residency fits the
+    scoped limit (with slack for posterior/parity/temporaries)."""
+    if onehot_vmem is not None:
+        return bool(onehot_vmem)
+    oh = sched.num_tiles * _TILE * _TILE * 2
+    state = 4 * shot_block * (sched.v_pad + 2 * sched.c_pad)
+    return oh + msg_bytes + state < 80 * 2**20
+
+
 @partial(jax.jit, static_argnames=("sched", "max_iter", "alpha_num",
-                                   "early_stop", "shot_block", "interpret"))
+                                   "early_stop", "shot_block", "interpret",
+                                   "onehot_vmem"))
 def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
                        max_iter: int, alpha_num: int,
                        early_stop: bool = True, shot_block: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       onehot_vmem: Optional[bool] = None):
     """int8 BSR decode.  ``prior_q`` are int32 LLR quanta
     (:func:`~exp_ldpc_tpu.decoders.bp_int8.quantize_priors`); the returned
     posterior is in quanta (int32) — scale by delta for LLR units."""
@@ -511,6 +552,8 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
 
     maski_t = np.where(sched.mask_t > 0, _DEAD, 0).astype(np.int32)
 
+    use_oh = _resolve_onehot_vmem(
+        sched, shot_block, sched.e_pad * shot_block, onehot_vmem)
     kernel = partial(_kernel_int8, sched=sched, max_iter=max_iter,
                      alpha_num=int(alpha_num), early_stop=early_stop)
 
@@ -519,6 +562,15 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
         (r, shot_block), lambda s: (0, s), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    scratch = [
+        pltpu.VMEM((sched.e_pad, shot_block), jnp.int8),   # messages
+        pltpu.VMEM((C_pad, shot_block), jnp.int32),        # parity
+        pltpu.SMEM((2,), jnp.int32),                       # done, iter
+    ]
+    if use_oh:
+        scratch.append(
+            pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
 
     post, conv, iters = pl.pallas_call(
         kernel,
@@ -536,11 +588,7 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
             jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((sched.e_pad, shot_block), jnp.int8),   # messages
-            pltpu.VMEM((C_pad, shot_block), jnp.int32),        # parity
-            pltpu.SMEM((2,), jnp.int32),                       # done, iter
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20) if not interpret else None,
         interpret=interpret,
@@ -553,11 +601,12 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
 
 @partial(jax.jit, static_argnames=("sched", "method", "max_iter",
                                    "ms_scaling_factor", "early_stop",
-                                   "shot_block", "interpret", "ablate"))
+                                   "shot_block", "interpret", "ablate",
+                                   "onehot_vmem"))
 def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
                   max_iter: int, ms_scaling_factor, early_stop: bool = True,
                   shot_block: int = 128, interpret: bool = False,
-                  ablate: str = ""):
+                  ablate: str = "", onehot_vmem: Optional[bool] = None):
     """syndromes (C, S) uint8 -> (hard (V,S) uint8, posterior (V,S) f32,
     converged (S,) bool, iters (S,) int32) — the ``_bp_core`` contract
     (global early exit, see module docstring)."""
@@ -575,6 +624,8 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
         jnp.pad(jnp.asarray(prior_llr, jnp.float32), (0, V_pad - V))
         .reshape(V_pad // _TILE, _TILE).T)
 
+    use_oh = _resolve_onehot_vmem(
+        sched, shot_block, 2 * sched.e_pad * shot_block, onehot_vmem)
     kernel = partial(_kernel, sched=sched, method=method, max_iter=max_iter,
                      alpha0=float(ms_scaling_factor),
                      adaptive=float(ms_scaling_factor) == 0.0,
@@ -585,6 +636,15 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
         (r, shot_block), lambda s: (0, s), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    scratch = [
+        pltpu.VMEM((sched.e_pad, shot_block), jnp.bfloat16),  # messages
+        pltpu.VMEM((C_pad, shot_block), jnp.bfloat16),        # parity
+        pltpu.SMEM((2,), jnp.int32),                          # done, iter
+    ]
+    if use_oh:
+        scratch.append(
+            pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
 
     post, conv, iters = pl.pallas_call(
         kernel,
@@ -601,11 +661,7 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
             jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((sched.e_pad, shot_block), jnp.bfloat16),  # messages
-            pltpu.VMEM((C_pad, shot_block), jnp.bfloat16),        # parity
-            pltpu.SMEM((2,), jnp.int32),                          # done, iter
-        ],
+        scratch_shapes=scratch,
         # the default 16 MiB scoped-VMEM cap is conservative; the long
         # unrolled tile schedule needs stack room beyond the resident state
         compiler_params=pltpu.CompilerParams(
@@ -640,6 +696,9 @@ class BSRBPDecoder:
     # half the VMEM/bandwidth, bit-exact vs decoders.bp_int8)
     msg_dtype: str = "bfloat16"
     prior_quanta: int = 24
+    # one-hot routing tiles in VMEM scratch (None = auto by VMEM budget);
+    # pure scheduling choice, bit-exact either way
+    onehot_vmem: Optional[bool] = None
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
@@ -678,6 +737,7 @@ class BSRBPDecoder:
         var_perm: Optional[np.ndarray] = None,
         msg_dtype: str = "bfloat16",
         prior_quanta: int = 24,
+        onehot_vmem: Optional[bool] = None,
         **_ignored,
     ) -> "BSRBPDecoder":
         H = sparse.csr_matrix(H)
@@ -715,6 +775,7 @@ class BSRBPDecoder:
             inv_var_perm=inv_var_perm,
             msg_dtype=msg_dtype,
             prior_quanta=prior_quanta,
+            onehot_vmem=onehot_vmem,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
@@ -732,6 +793,7 @@ class BSRBPDecoder:
                 self.early_stop,
                 self.shot_block,
                 self.interpret,
+                self.onehot_vmem,
             )
             post = post.astype(jnp.float32) * self._delta
         else:
@@ -745,6 +807,8 @@ class BSRBPDecoder:
                 self.early_stop,
                 self.shot_block,
                 self.interpret,
+                "",
+                self.onehot_vmem,
             )
         hard, post = hard.T, post.T
         if self.inv_var_perm is not None:

@@ -271,6 +271,7 @@ class BPDetectorCorrect:
             channel_probs=self._dsc.fault_priors,
             **bp_options,
         )
+        self._fault_map_T = self._dsc.fault_map.T.toarray()
 
     def readout_correction_batch(self, detector_batch: np.ndarray) -> np.ndarray:
         """detector_batch (S, D + L) with observables appended -> corrected
@@ -279,7 +280,7 @@ class BPDetectorCorrect:
         syndrome = detector_batch[:, :D]
         logicals = detector_batch[:, D:]
         fault_set, _post, _conv, _it = self._bpd.decode_batch(syndrome)
-        flips = (np.asarray(fault_set) @ self._dsc.fault_map.T.toarray()) % 2
+        flips = (np.asarray(fault_set) @ self._fault_map_T) % 2
         return (logicals + flips) % 2
 
 

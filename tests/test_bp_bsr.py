@@ -249,3 +249,34 @@ def test_bsr_int8_option_validation(code300):
     with pytest.raises(ValueError, match="msg_dtype"):
         BSRBPDecoder.from_check_matrix(
             code300, error_rate=1e-3, msg_dtype="fp8")
+
+
+def test_bsr_onehot_vmem_bitexact(code300):
+    """Materialized-in-VMEM one-hot tiles are a pure scheduling change:
+    bit-exact against the rebuild-per-use path for bf16 and int8 kernels
+    (multi-grid-step shot blocks exercise the build-once guard)."""
+    from exp_ldpc_tpu.decoders.bp_bsr import bsr_bp_decode_int8
+    from exp_ldpc_tpu.decoders.bp_int8 import quantize_priors
+
+    H = code300
+    tanner = TannerELL.from_check_matrix(H)
+    sched = BSRSchedule.from_tanner(tanner)
+    prior = priors_to_llr(np.full(300, 0.02))
+    rng = np.random.default_rng(11)
+    errs = (rng.random((96, 300)) < 0.02).astype(np.uint8)
+    synd = jnp.asarray((((errs @ H.T) % 2).astype(np.uint8)).T)
+
+    a = bsr_bp_decode(sched, jnp.asarray(prior), synd, "ms", 12, 0.625,
+                      False, 32, True, "", False)
+    b = bsr_bp_decode(sched, jnp.asarray(prior), synd, "ms", 12, 0.625,
+                      False, 32, True, "", True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    pq, _ = quantize_priors(priors_to_llr(np.full(300, 0.02)))
+    ai = bsr_bp_decode_int8(sched, jnp.asarray(pq), synd, 12, 160,
+                            False, 32, True, False)
+    bi = bsr_bp_decode_int8(sched, jnp.asarray(pq), synd, 12, 160,
+                            False, 32, True, True)
+    for x, y in zip(ai, bi):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
