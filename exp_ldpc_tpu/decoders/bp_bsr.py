@@ -376,9 +376,10 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
     _int8_bp_core` (saturating posteriors, exact rational scaling), so the
     two kernels are BIT-EXACT against each other in fixed-iteration mode —
     the strongest cross-backend check available.  Messages are int8 (half
-    the bf16 kernel's VMEM/bandwidth); the routing dots cast through bf16,
-    which represents every int in [-127, 127] exactly and accumulates in
-    f32 (exact below 2^24), so no integer-MXU support is required.
+    the bf16 kernel's VMEM/bandwidth) and the routing dots are NATIVE
+    int8 x int8 -> int32 MXU ops — v5e's int8 systolic path has 2x the
+    bf16 peak, and staying integer end-to-end also deletes the per-tile
+    int8->bf16 VPU casts the first version of this kernel paid for.
     """
     C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
     n_cc = C_pad // _TILE
@@ -391,27 +392,27 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
             rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
             for t in range(sched.num_tiles):
                 oh_ref[t * _TILE:(t + 1) * _TILE, :] = (
-                    rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+                    rows == idx_ref[t:t + 1, :]).astype(jnp.int8)
 
         def onehot(t):
             return oh_ref[t * _TILE:(t + 1) * _TILE, :]
     else:
         def onehot(t):
             rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
-            return (rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+            return (rows == idx_ref[t:t + 1, :]).astype(jnp.int8)
 
-    def etile_bf16(i):
-        return msg_ref[i * _TILE:(i + 1) * _TILE, :].astype(jnp.bfloat16)
+    def etile(i):
+        return msg_ref[i * _TILE:(i + 1) * _TILE, :]
 
     # ---- init: v2c = saturated prior at each edge's variable, +SAT on pads
     for et, pairs in enumerate(sched.sched_g):
-        col = maski_t_ref[:, et:et + 1].astype(f32)  # _DEAD on dead rows
+        col = maski_t_ref[:, et:et + 1]  # _DEAD on dead rows
         for vt, t in pairs:
-            pcol = prior8_t_ref[:, vt:vt + 1].astype(jnp.bfloat16)
+            pcol = prior8_t_ref[:, vt:vt + 1].astype(jnp.int8)
             col = col + jax.lax.dot_general(
                 onehot(t), pcol, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-        col = jnp.clip(col.astype(i32), -_SAT, _SAT)
+                preferred_element_type=i32)
+        col = jnp.clip(col, -_SAT, _SAT)
         msg_ref[et * _TILE:(et + 1) * _TILE, :] = jnp.broadcast_to(
             col, (_TILE, S)).astype(jnp.int8)
 
@@ -452,27 +453,27 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                             s * C_pad + (cc + 1) * _TILE, :] = (
                         out.astype(jnp.int8))
 
-            # ---- variable totals on the MXU (exact: int8 values in bf16)
+            # ---- variable totals: native int8 MXU dots, int32 accumulation
             for vt, pairs in enumerate(sched.sched_m):
-                tot = jnp.zeros((_TILE, S), f32)
+                tot = jnp.zeros((_TILE, S), i32)
                 for et, t in pairs:
-                    tot = tot + jnp.dot(onehot(t), etile_bf16(et),
-                                        preferred_element_type=f32)
+                    tot = tot + jnp.dot(onehot(t), etile(et),
+                                        preferred_element_type=i32)
                 post_ref[vt * _TILE:(vt + 1) * _TILE, :] = (
-                    prior_t_ref[:, vt:vt + 1] + tot.astype(i32))
+                    prior_t_ref[:, vt:vt + 1] + tot)
 
             # ---- edge broadcast of the saturated posterior + parity
             par_ref[:] = jnp.zeros((C_pad, S), i32)
             for et, pairs in enumerate(sched.sched_g):
                 acc = jnp.broadcast_to(
-                    maski_t_ref[:, et:et + 1].astype(f32), (_TILE, S))
+                    maski_t_ref[:, et:et + 1], (_TILE, S))
                 for vt, t in pairs:
                     pb = jnp.clip(post_ref[vt * _TILE:(vt + 1) * _TILE, :],
-                                  -_SAT, _SAT).astype(jnp.bfloat16)
+                                  -_SAT, _SAT).astype(jnp.int8)
                     acc = acc + jax.lax.dot_general(
                         onehot(t), pb, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32)
-                acc_i = acc.astype(i32)  # post8[var(e)], or _DEAD on pads
+                        preferred_element_type=i32)
+                acc_i = acc  # post8[var(e)], or _DEAD on pads
                 coff = (et * _TILE) % C_pad
                 par_ref[coff:coff + _TILE, :] = (
                     par_ref[coff:coff + _TILE, :] + (acc_i <= 0).astype(i32))
@@ -570,7 +571,7 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
     ]
     if use_oh:
         scratch.append(
-            pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
+            pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.int8))
 
     post, conv, iters = pl.pallas_call(
         kernel,

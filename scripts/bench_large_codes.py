@@ -22,7 +22,7 @@ import numpy as np
 
 
 def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
-               qc_perms=None, bsr=False, bsr_int8=False):
+               qc_perms=None, bsr=False, bsr_int8=False, shot_block=128):
     import jax
     import jax.numpy as jnp
 
@@ -77,11 +77,11 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
         def step(carry, synd):
             if sched is not None and bsr_int8:
                 hard, _post, conv, _it = bsr_bp_decode_int8(
-                    sched, prior_q, synd, iters, 160, False
+                    sched, prior_q, synd, iters, 160, False, shot_block
                 )
             elif sched is not None:
                 hard, _post, conv, _it = bsr_bp_decode(
-                    sched, prior, synd, "ms", iters, 0.625, False
+                    sched, prior, synd, "ms", iters, 0.625, False, shot_block
                 )
             elif struct is not None:
                 hard, _post, conv, _it = _qc_bp_core(
@@ -139,6 +139,11 @@ def main():
     ap.add_argument("--shots", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--p", type=float, default=1e-3)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on 'name/formulation-flags' "
+                         "(e.g. 'bsr', 'cyclic', 'qclp/int8')")
+    ap.add_argument("--shot_block", type=int, default=128,
+                    help="BSR kernel shot block (grid tile width)")
     args = ap.parse_args()
 
     from exp_ldpc_tpu.codes.bivariate_bicycle import gross_code
@@ -178,17 +183,35 @@ def main():
 
     out = []
     for name, H, qc_dims, qc_perms, bsr, bsr_int8 in cases:
+        tag = (f"{name}/" + ("bsr-int8" if bsr_int8 else "bsr" if bsr
+                             else "qc" if qc_dims is not None else "base"))
+        if args.only and args.only not in tag:
+            continue
         rec = bench_code(
             name, H, shots=args.shots, iters=args.iters, p=args.p,
             reps_lo=4, reps_hi=16, qc_dims=qc_dims, qc_perms=qc_perms, bsr=bsr,
-            bsr_int8=bsr_int8,
+            bsr_int8=bsr_int8, shot_block=args.shot_block,
         )
         print(json.dumps(rec))
         out.append(rec)
 
     if args.write:
-        with open("artifacts/bp_families_v5e.jsonl", "w") as f:
-            for rec in out:
+        path = "artifacts/bp_families_v5e.jsonl"
+        # merge by (code, formulation-prefix): a filtered run refreshes its
+        # own rows without discarding the rest of the artifact
+        try:
+            with open(path) as f:
+                old = [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            old = []
+
+        def key(r):
+            return (r["code"], r["formulation"].split("[")[0])
+
+        new_keys = {key(r) for r in out}
+        merged = [r for r in old if key(r) not in new_keys] + out
+        with open(path, "w") as f:
+            for rec in merged:
                 f.write(json.dumps(rec) + "\n")
 
 
