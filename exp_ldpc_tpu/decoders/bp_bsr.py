@@ -90,6 +90,11 @@ class BSRSchedule:
     mask_t: np.ndarray       # (128, n_edge_tiles) float32
     sched_m: Tuple[Tuple[Tuple[int, int], ...], ...]
     sched_g: Tuple[Tuple[Tuple[int, int], ...], ...]
+    # per 128-check chunk: number of live slot planes (max check degree in
+    # the chunk).  Slots >= live_slots[cc] have no edges anywhere in the
+    # chunk (TannerELL packs each check's edges into a slot prefix), so the
+    # min-sum check update and the routing passes can skip them exactly.
+    live_slots: Tuple[int, ...] = ()
 
     @property
     def num_tiles(self) -> int:
@@ -147,9 +152,18 @@ def _build_schedule(tanner: TannerELL) -> BSRSchedule:
     mask_t = np.full((_TILE, n_et), _BIG, dtype=np.float32)
     mask_t[ep, et] = 0.0
 
+    n_cc = C_pad // _TILE
+    deg = chk_mask.sum(axis=1).astype(np.int64)
+    deg_pad = np.zeros(C_pad, np.int64)
+    deg_pad[:C] = deg
+    live_slots = tuple(
+        int(deg_pad[i * _TILE:(i + 1) * _TILE].max()) for i in range(n_cc)
+    )
+
     return BSRSchedule(
         num_checks=C, num_vars=V, c_pad=C_pad, v_pad=V_pad, dc=Dc,
         idx=idx, mask_t=mask_t, sched_m=sched_m, sched_g=sched_g,
+        live_slots=live_slots,
     )
 
 
@@ -195,6 +209,20 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     n_cc = C_pad // _TILE
     S = synd_ref.shape[1]
     f32 = jnp.float32
+    # min-sum can skip dead planes/tiles exactly: +BIG planes never win the
+    # min and are never rewritten, so they stay +BIG without the broadcast
+    # pass restoring them.  Sum-product totals include _phi(+BIG) != 0, so
+    # "ps" keeps the full loops (bit-exactness over ~1e-13 savings).
+    skip_dead = method == "ms" and ablate == ""
+
+    def chunk_slots(cc):
+        return sched.live_slots[cc] if skip_dead else Dc
+
+    def bcast_tiles():
+        for et, pairs in enumerate(sched.sched_g):
+            if skip_dead and not pairs:
+                continue
+            yield et, pairs
 
     if oh_ref is not None:
         @pl.when(pl.program_id(0) == 0)
@@ -260,13 +288,16 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                                 s * C_pad + (cc + 1) * _TILE, :] = (
                             out.astype(jnp.bfloat16))
                 else:
+                    n_s = chunk_slots(cc)
+                    if n_s == 0:
+                        continue
                     total_sign = synd_sign
                     p = plane(0)
                     total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
                     min1 = jnp.abs(p)
                     min2 = jnp.full_like(min1, _BIG)
                     arg = jnp.zeros_like(min1)
-                    for s in range(1, Dc):
+                    for s in range(1, n_s):
                         p = plane(s)
                         total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
                         m = jnp.abs(p)
@@ -274,7 +305,7 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                         min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
                         arg = jnp.where(lt, float(s), arg)
                         min1 = jnp.where(lt, m, min1)
-                    for s in range(Dc):
+                    for s in range(n_s):
                         p = plane(s)
                         out = (total_sign * jnp.where(p < 0, -1.0, 1.0)
                                * jnp.where(arg == float(s), min2, min1) * alpha)
@@ -305,9 +336,11 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                 post_ref[vt * _TILE:(vt + 1) * _TILE, :] = tot
 
             # ---- edge broadcast (transposed tiles) + in-flight parity
-            if route_pairs:
+            # (parity rides the pass only when early_stop needs it per
+            # iteration; fixed-iteration mode computes it once after the loop)
+            if route_pairs and early_stop:
                 par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
-            for et, pairs in (enumerate(sched.sched_g) if route_pairs else ()):
+            for et, pairs in (bcast_tiles() if route_pairs else ()):
                 acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
                 for vt, t in pairs:
                     pb = post_ref[vt * _TILE:(vt + 1) * _TILE, :].astype(
@@ -315,11 +348,12 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                     acc = acc + jax.lax.dot_general(
                         onehot(t), pb, (((0,), (0,)), ((), ())),
                         preferred_element_type=f32)
-                coff = (et * _TILE) % C_pad
-                # bf16 parity counts are exact up to Dc <= 256
-                par_ref[coff:coff + _TILE, :] = (
-                    par_ref[coff:coff + _TILE, :]
-                    + (acc <= 0.0).astype(jnp.bfloat16))
+                if early_stop:
+                    coff = (et * _TILE) % C_pad
+                    # bf16 parity counts are exact up to Dc <= 256
+                    par_ref[coff:coff + _TILE, :] = (
+                        par_ref[coff:coff + _TILE, :]
+                        + (acc <= 0.0).astype(jnp.bfloat16))
                 rows = slice(et * _TILE, (et + 1) * _TILE)
                 msg_ref[rows, :] = (
                     acc - msg_ref[rows, :].astype(f32)).astype(jnp.bfloat16)
@@ -347,7 +381,25 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
 
     jax.lax.fori_loop(0, max_iter, body, 0)
 
-    # ---- final convergence flags from the persisted parity accumulator
+    if not early_stop and ablate != "no_route":
+        # fixed-iteration mode skipped the per-iteration parity; one routed
+        # pass over the final posterior produces it (same math the in-loop
+        # accumulation would have run on the last iteration)
+        par_ref[:] = jnp.zeros((C_pad, S), par_ref.dtype)
+        for et, pairs in bcast_tiles():
+            acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
+            for vt, t in pairs:
+                pb = post_ref[vt * _TILE:(vt + 1) * _TILE, :].astype(
+                    jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    onehot(t), pb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            coff = (et * _TILE) % C_pad
+            par_ref[coff:coff + _TILE, :] = (
+                par_ref[coff:coff + _TILE, :]
+                + (acc <= 0.0).astype(jnp.bfloat16))
+
+    # ---- final convergence flags from the parity accumulator
     bad = jnp.zeros((1, S), f32)
     for cc in range(n_cc):
         rows = slice(cc * _TILE, (cc + 1) * _TILE)
@@ -419,10 +471,20 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
     done_ref[0] = 0
     done_ref[1] = max_iter
 
+    def live_tiles():
+        # dead (slot, chunk) cells stay at _DEAD from init: min-sum never
+        # selects them and the skipped passes never rewrite them — exact
+        for et, pairs in enumerate(sched.sched_g):
+            if pairs:
+                yield et, pairs
+
     def body(it, _):
         def active():
             # ---- integer min-sum check update, streaming over planes
             for cc in range(n_cc):
+                n_s = sched.live_slots[cc]
+                if n_s == 0:
+                    continue
                 rows = slice(cc * _TILE, (cc + 1) * _TILE)
                 synd_i = synd_ref[rows, :].astype(i32)
 
@@ -435,7 +497,7 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                 min1 = jnp.abs(p)
                 min2 = jnp.full_like(min1, _SAT + 1)
                 arg = jnp.zeros_like(min1)
-                for s in range(1, Dc):
+                for s in range(1, n_s):
                     p = plane(s)
                     neg_tot = neg_tot + (p < 0).astype(i32)
                     m = jnp.abs(p)
@@ -443,7 +505,7 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                     min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
                     arg = jnp.where(lt, s, arg)
                     min1 = jnp.where(lt, m, min1)
-                for s in range(Dc):
+                for s in range(n_s):
                     p = plane(s)
                     ext = jnp.where(arg == s, min2, min1)
                     scaled = (ext * alpha_num) >> _ALPHA_SHIFT
@@ -462,9 +524,11 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                 post_ref[vt * _TILE:(vt + 1) * _TILE, :] = (
                     prior_t_ref[:, vt:vt + 1] + tot)
 
-            # ---- edge broadcast of the saturated posterior + parity
-            par_ref[:] = jnp.zeros((C_pad, S), i32)
-            for et, pairs in enumerate(sched.sched_g):
+            # ---- edge broadcast of the saturated posterior (+ parity only
+            # when the early exit consumes it each iteration)
+            if early_stop:
+                par_ref[:] = jnp.zeros((C_pad, S), i32)
+            for et, pairs in live_tiles():
                 acc = jnp.broadcast_to(
                     maski_t_ref[:, et:et + 1], (_TILE, S))
                 for vt, t in pairs:
@@ -474,9 +538,11 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                         onehot(t), pb, (((0,), (0,)), ((), ())),
                         preferred_element_type=i32)
                 acc_i = acc  # post8[var(e)], or _DEAD on pads
-                coff = (et * _TILE) % C_pad
-                par_ref[coff:coff + _TILE, :] = (
-                    par_ref[coff:coff + _TILE, :] + (acc_i <= 0).astype(i32))
+                if early_stop:
+                    coff = (et * _TILE) % C_pad
+                    par_ref[coff:coff + _TILE, :] = (
+                        par_ref[coff:coff + _TILE, :]
+                        + (acc_i <= 0).astype(i32))
                 rows = slice(et * _TILE, (et + 1) * _TILE)
                 v2c = jnp.clip(acc_i - msg_ref[rows, :].astype(i32),
                                -_SAT, _SAT)
@@ -503,6 +569,22 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
         return 0
 
     jax.lax.fori_loop(0, max_iter, body, 0)
+
+    if not early_stop:
+        # fixed-iteration mode: one routed parity pass over the final
+        # posterior replaces the skipped per-iteration accumulation
+        par_ref[:] = jnp.zeros((C_pad, S), i32)
+        for et, pairs in live_tiles():
+            acc = jnp.broadcast_to(maski_t_ref[:, et:et + 1], (_TILE, S))
+            for vt, t in pairs:
+                pb = jnp.clip(post_ref[vt * _TILE:(vt + 1) * _TILE, :],
+                              -_SAT, _SAT).astype(jnp.int8)
+                acc = acc + jax.lax.dot_general(
+                    onehot(t), pb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=i32)
+            coff = (et * _TILE) % C_pad
+            par_ref[coff:coff + _TILE, :] = (
+                par_ref[coff:coff + _TILE, :] + (acc <= 0).astype(i32))
 
     bad = jnp.zeros((1, S), i32)
     for cc in range(n_cc):

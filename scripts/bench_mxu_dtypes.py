@@ -4,13 +4,22 @@
 Times a VMEM-resident Pallas kernel doing a long chain of 128x128 @ 128xS
 dots (the BSR routing shape) with bf16, f32, and int8 operands, to learn
 whether native int8 MXU lowering is available/profitable before rewriting
-the BSR routing passes.  Distinct-input slope-fit methodology.
+the BSR routing passes.
+
+Methodology: the chain cycles through 64 x 8 = 512 DISTINCT (a, b) slice
+pairs feeding 8 rotating accumulators (defeats CSE/strength-reduction and
+value-dedup on the remote backend), and the per-dot cost is the wall-time
+difference between a long and a short chain of the SAME kernel shape
+(subtracts compile-independent dispatch/tunnel overhead).
 """
 import json
 import time
-from functools import partial
 
 import numpy as np
+
+CHAIN_LO = 8192
+CHAIN_HI = 32768
+S = 128
 
 
 def main():
@@ -19,76 +28,67 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    S = 128
-    CHAIN = 512         # dots per kernel call
-    REPS_LO, REPS_HI = 64, 512
-
-    def make_kernel(dtype, acc_dtype):
-        def kern(a_ref, b_ref, o_ref):
-            def body(i, acc):
-                # vary the slice so dots are not trivially CSE'd
-                a = a_ref[pl.dslice((i % 8) * 128, 128), :]
-                return acc + jnp.dot(
-                    a, b_ref[:, :].astype(dtype),
-                    preferred_element_type=acc_dtype).astype(jnp.float32)
-            acc = jax.lax.fori_loop(
-                0, CHAIN, body, jnp.zeros((128, S), jnp.float32))
-            o_ref[:, :] = acc
-        return kern
-
     rng = np.random.default_rng(0)
 
-    def run_case(name, dtype, acc_dtype):
-        kern = make_kernel(dtype, acc_dtype)
-        f = pl.pallas_call(
+    def make(chain, dtype, acc_dtype):
+        def kern(a_ref, b_ref, o_ref):
+            def body(i, accs):
+                out = []
+                for j in range(8):  # static accumulator index, 8 dots/step
+                    a = a_ref[pl.dslice(j * 128, 128), :]
+                    b = b_ref[pl.dslice(((i * 8 + j) % 64) * 128, 128), :]
+                    d = jnp.dot(a, b, preferred_element_type=acc_dtype
+                                ).astype(jnp.float32)
+                    out.append(accs[j] + d)
+                return tuple(out)
+            accs = jax.lax.fori_loop(
+                0, chain // 8, body,
+                tuple(jnp.zeros((128, S), jnp.float32) for _ in range(8)))
+            tot = accs[0]
+            for k in range(1, 8):
+                tot = tot + accs[k]
+            o_ref[:, :] = tot
+        return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((128, S), jnp.float32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )
 
-        @jax.jit
-        def many(aa, bb):
-            def step(c, ab):
-                a, b = ab
-                return c + f(a, b).sum(), None
-            tot, _ = jax.lax.scan(step, jnp.float32(0), (aa, bb))
-            return tot
-
-        def batch(R):
+    def run_case(name, dtype, acc_dtype):
+        def operands():
+            # DISTINCT inputs per timed call: the remote backend dedups
+            # repeated (executable, value) pairs (CLAUDE.md)
             if dtype == jnp.int8:
-                a = rng.integers(-4, 5, (R, 1024, 128), dtype=np.int8)
-                b = rng.integers(-4, 5, (R, 128, S), dtype=np.int8)
+                a = rng.integers(-4, 5, (1024, 128), dtype=np.int8)
+                b = rng.integers(-4, 5, (64 * 128, S), dtype=np.int8)
             else:
-                a = rng.standard_normal((R, 1024, 128)).astype(dtype)
-                b = rng.standard_normal((R, 128, S)).astype(dtype)
-            return jax.device_put(jnp.asarray(a)), jax.device_put(jnp.asarray(b))
+                a = rng.standard_normal((1024, 128)).astype(dtype)
+                b = rng.standard_normal((64 * 128, S)).astype(dtype)
+            return jnp.asarray(a), jnp.asarray(b)
 
-        los = [batch(REPS_LO) for _ in range(3)]
-        his = [batch(REPS_HI) for _ in range(3)]
-        t0 = time.perf_counter()
-        many(*los[0]).block_until_ready()
-        compile_s = time.perf_counter() - t0
-        many(*his[0]).block_until_ready()
+        f_lo = jax.jit(make(CHAIN_LO, dtype, acc_dtype))
+        f_hi = jax.jit(make(CHAIN_HI, dtype, acc_dtype))
 
-        def timed(xs):
-            best = np.inf
-            for ab in xs:
+        def best(f, n=3):
+            np.asarray(f(*operands()))  # compile + warm
+            ts = []
+            for _ in range(n):
+                a, b = operands()
                 t0 = time.perf_counter()
-                many(*ab).block_until_ready()
-                best = min(best, time.perf_counter() - t0)
-            return best
+                np.asarray(f(a, b))  # host fetch forces full sync
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
 
-        per = (timed(his) - timed(los)) / (REPS_HI - REPS_LO)
-        flops = 2 * CHAIN * 128 * 128 * S
+        t_lo, t_hi = best(f_lo), best(f_hi)
+        per_dot = (t_hi - t_lo) / (CHAIN_HI - CHAIN_LO)
+        flops = 2 * 128 * 128 * S
         print(json.dumps({
-            "dtype": name, "chain": CHAIN, "s": S,
-            "tflops": flops / per / 1e12,
-            "us_per_call": per * 1e6,
-            "compile_s": compile_s,
+            "dtype": name, "s": S,
+            "tflops": flops / per_dot / 1e12,
+            "ns_per_dot": per_dot * 1e9,
+            "t_hi_s": t_hi, "t_lo_s": t_lo,
         }), flush=True)
 
     run_case("bf16", jnp.bfloat16, jnp.float32)
