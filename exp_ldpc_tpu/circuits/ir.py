@@ -45,23 +45,43 @@ GATES_1Q_MEAS_RESET = {"MRX", "MRZ"}
 GATES_2Q = {"CX", "CZ"}
 NOISE_1Q = {"DEPOLARIZE1", "X_ERROR", "Y_ERROR", "Z_ERROR"}
 NOISE_2Q = {"DEPOLARIZE2"}
-FUSABLE = GATES_2Q | NOISE_1Q | NOISE_2Q
+# multi-parameter Pauli channels: one Pauli drawn from DISJOINT per-Pauli
+# probabilities (Stim semantics).  Parameter counts are fixed by the channel.
+NOISE_MULTI_ARG = {"PAULI_CHANNEL_1": 3, "PAULI_CHANNEL_2": 15}
+# channels in the reference's vocabulary (storage_sim.py:77-87) that the
+# native samplers deliberately do NOT implement; rejected at parse time
+# with an actionable message rather than deep inside a jit trace
+NOISE_UNSUPPORTED = {"CORRELATED_ERROR", "ELSE_CORRELATED_ERROR", "E", "ELSE_ERROR"}
+FUSABLE = GATES_2Q | NOISE_1Q | NOISE_2Q | set(NOISE_MULTI_ARG)
 
 
 @dataclass
 class Op:
-    """A single compiled circuit operation."""
+    """A single compiled circuit operation.
+
+    Probability parameters: single-parameter channels carry ``arg``;
+    multi-parameter channels (``PAULI_CHANNEL_1/2``) carry ``args`` (a
+    float32 vector) and leave ``arg`` None.
+    """
 
     name: str
     arg: Optional[float]
     targets: np.ndarray  # int32; for 2-qubit ops, interleaved pairs (a0 b0 a1 b1 ...)
     meas_offset: int = -1  # index of first measurement this op records (within its block)
+    args: Optional[np.ndarray] = None  # multi-parameter channel probabilities
 
     @property
     def num_measurements(self) -> int:
         if self.name in GATES_1Q_MEAS or self.name in GATES_1Q_MEAS_RESET:
             return len(self.targets)
         return 0
+
+    @property
+    def num_noise_args(self) -> int:
+        """Slots this op consumes in the runtime noise-probability vector."""
+        if self.args is not None:
+            return len(self.args)
+        return 0 if self.arg is None else 1
 
 
 @dataclass
@@ -107,7 +127,7 @@ class ParsedCircuit:
         sampler, re-bound to a new :meth:`noise_args` vector at runtime."""
         def block_sig(ops):
             return tuple(
-                (op.name, op.arg is not None, op.targets.tobytes(), op.meas_offset)
+                (op.name, op.num_noise_args, op.targets.tobytes(), op.meas_offset)
                 for op in ops
             )
         return (
@@ -120,9 +140,15 @@ class ParsedCircuit:
     def noise_args(self) -> np.ndarray:
         """The probability arguments of all arg-carrying ops, in block order
         (prologue, body, epilogue) — the runtime-rebindable part of the
-        circuit.  Index order matches the parametric device sampler."""
-        vals = [op.arg for ops in (self.prologue, self.body, self.epilogue)
-                for op in ops if op.arg is not None]
+        circuit.  Index order matches the parametric device sampler; a
+        multi-parameter channel contributes its parameters consecutively."""
+        vals: List[float] = []
+        for ops in (self.prologue, self.body, self.epilogue):
+            for op in ops:
+                if op.args is not None:
+                    vals.extend(float(v) for v in op.args)
+                elif op.arg is not None:
+                    vals.append(op.arg)
         return np.asarray(vals, dtype=np.float32)
 
     def detector_matrix(self) -> sparse.csr_matrix:
@@ -177,12 +203,21 @@ def _fuse(ops: List[Op]) -> List[Op]:
             and op.name in FUSABLE
             and fused[-1].name == op.name
             and fused[-1].arg == op.arg
+            and (
+                (fused[-1].args is None and op.args is None)
+                or (
+                    fused[-1].args is not None
+                    and op.args is not None
+                    and np.array_equal(fused[-1].args, op.args)
+                )
+            )
         ):
             fused[-1] = Op(
                 op.name,
                 op.arg,
                 np.concatenate([fused[-1].targets, op.targets]),
                 fused[-1].meas_offset,
+                args=fused[-1].args,
             )
         else:
             fused.append(op)
@@ -220,12 +255,12 @@ def parse_circuit(circuit) -> ParsedCircuit:
     def current_list() -> List[Op]:
         return (prologue, body, epilogue)[phase]
 
-    def emit(name: str, arg, targets: List[int]):
+    def emit(name: str, arg, targets: List[int], args=None):
         nonlocal max_qubit, meas_count
         arr = np.asarray(targets, dtype=np.int32)
         if arr.size:
             max_qubit = max(max_qubit, int(arr.max()))
-        op = Op(name, arg, arr, meas_offset=block_meas[phase])
+        op = Op(name, arg, arr, meas_offset=block_meas[phase], args=args)
         nmeas = op.num_measurements
         block_meas[phase] += nmeas
         meas_count += nmeas
@@ -254,6 +289,27 @@ def parse_circuit(circuit) -> ParsedCircuit:
         if name == "OBSERVABLE_INCLUDE":
             idx = int(float(argstr)) if argstr else 0
             observables.setdefault(idx, []).extend(_parse_rec_targets(rest, meas_count))
+            return
+        if name in NOISE_UNSUPPORTED:
+            raise ValueError(
+                f"{name} is not implemented by the native samplers: the "
+                "Pauli-frame planes track independent per-site channels, and "
+                "correlated-error chains need stim-style conditional "
+                "sampling.  Rewrite the noise model with PAULI_CHANNEL_1/2 "
+                f"or DEPOLARIZE1/2 instead.  Offending line: {line!r}"
+            )
+        if name in NOISE_MULTI_ARG:
+            want = NOISE_MULTI_ARG[name]
+            vals = [float(v) for v in argstr.split(",")] if argstr else []
+            if len(vals) != want:
+                raise ValueError(
+                    f"{name} takes exactly {want} probabilities, "
+                    f"got {len(vals)}: {line!r}"
+                )
+            targets = [int(t) for t in rest.split()] if rest else []
+            if name == "PAULI_CHANNEL_2" and len(targets) % 2:
+                raise ValueError(f"odd number of targets for 2-qubit op: {line}")
+            emit(name, None, targets, args=np.asarray(vals, dtype=np.float32))
             return
         targets = [int(t) for t in rest.split()] if rest else []
         if name in GATES_1Q_RESET | GATES_1Q_MEAS | GATES_1Q_MEAS_RESET | GATES_2Q | NOISE_1Q | NOISE_2Q:

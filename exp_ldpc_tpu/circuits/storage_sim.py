@@ -96,13 +96,26 @@ def build_perfect_circuit(code: QuantumCode) -> Tuple[CircuitTargets, List[str]]
 
 def _check_unique_targets(circuit: str) -> None:
     """Physical race detector: no qubit may be touched twice in a timestep
-    (``storage_sim.py:89-108``)."""
+    (``storage_sim.py:89-108``).
+
+    Unlike the reference's verifier, control-flow lines are skipped
+    explicitly: the reference parses ``REPEAT n {`` as a gate line and
+    collects ``n`` as a qubit target (``storage_sim.py:100-107``), which
+    false-asserts whenever the round count collides with an ancilla index
+    already used in the same timestep.
+    """
+    _CONTROL_FLOW = ("REPEAT", "}", "SHIFT_COORDS", "TICK", "QUBIT_COORDS")
 
     def gate_lines_only(chunk: str):
         for line in chunk.split("\n"):
-            if line.startswith(noise_channels) or line.startswith(("DETECTOR", "OBSERVABLE")):
+            stripped = line.strip()
+            if stripped.startswith(noise_channels) or stripped.startswith(
+                ("DETECTOR", "OBSERVABLE")
+            ):
                 continue
-            yield line
+            if stripped.startswith(_CONTROL_FLOW):
+                continue
+            yield stripped
 
     for chunk in circuit.split("TICK"):
         targets = []

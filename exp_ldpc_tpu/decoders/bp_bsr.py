@@ -472,7 +472,8 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
     done_ref[1] = max_iter
 
     def live_tiles():
-        # dead (slot, chunk) cells stay at _DEAD from init: min-sum never
+        # dead (slot, chunk) cells stay at +_SAT from init (the masked
+        # _DEAD value is clipped to _SAT before storing): min-sum never
         # selects them and the skipped passes never rewrite them — exact
         for et, pairs in enumerate(sched.sched_g):
             if pairs:
@@ -495,7 +496,11 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
                 p = plane(0)
                 neg_tot = synd_i + (p < 0).astype(i32)
                 min1 = jnp.abs(p)
-                min2 = jnp.full_like(min1, _SAT + 1)
+                # When padded planes were skipped (n_s < Dc), they would
+                # have clamped the second-min at +_SAT; seed min2 there so
+                # a degree-1 chunk cannot produce _SAT+1 (which wraps to
+                # -128 after alpha scaling at alpha_num=256).
+                min2 = jnp.full_like(min1, _SAT if n_s < Dc else _SAT + 1)
                 arg = jnp.zeros_like(min1)
                 for s in range(1, n_s):
                     p = plane(s)
@@ -775,8 +780,13 @@ class BSRBPDecoder:
     interpret: bool = False
     check_perm: Optional[np.ndarray] = None
     inv_var_perm: Optional[np.ndarray] = None  # old -> new
-    # "bfloat16" (default, any method) or "int8" (fixed-point min-sum:
-    # half the VMEM/bandwidth, bit-exact vs decoders.bp_int8)
+    # "bfloat16" (default, any method) or "int8" (fixed-point min-sum,
+    # bit-exact vs decoders.bp_int8).  int8 is ABLATION-ONLY: despite half
+    # the VMEM/bandwidth it measured SLOWER than bf16 on v5e (1.83M vs
+    # 2.97M iter*shots/s on the n=4862 cyclic LP; 18.6M vs 27.5M on QC-LP
+    # [[1054,140]] — artifacts/bp_families_v5e.jsonl), because the VPU-side
+    # integer min/sign plane reduction dominates, not the MXU dots.
+    # make_bp_decoder never selects it; request it only for ablations.
     msg_dtype: str = "bfloat16"
     prior_quanta: int = 24
     # one-hot routing tiles in VMEM scratch (None = auto by VMEM budget);

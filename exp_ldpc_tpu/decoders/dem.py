@@ -7,6 +7,8 @@ component in the circuit becomes one candidate fault:
   * DEPOLARIZE1(p) on q   -> X, Y, Z on q, each p/3
   * DEPOLARIZE2(p) on a,b -> the 15 non-identity two-qubit Paulis, each p/15
   * X/Y/Z_ERROR(p) on q   -> that Pauli, p
+  * PAULI_CHANNEL_1(px,py,pz) on q -> X/Y/Z on q with their own priors
+  * PAULI_CHANNEL_2(p1..p15) on a,b -> each two-qubit Pauli with its prior
   * M*(p) measurement     -> flip of that record bit, p
 
 (the same independent-decomposition approximation stim's DEM uses for
@@ -96,6 +98,32 @@ def detector_error_model(circuit) -> DetectorErrorModel:
                 fault_meas.append(-1)
                 fault_op.append(k)
                 priors.append(float(op.arg))
+        elif op.name == "PAULI_CHANNEL_1" and op.args is not None:
+            # disjoint (px, py, pz): three faults with their own priors
+            for q in t.tolist():
+                for (ex, ez), p in zip(((1, 0), (1, 1), (0, 1)), op.args):
+                    if not p:
+                        continue
+                    fault_x.append([q] if ex else [])
+                    fault_z.append([q] if ez else [])
+                    fault_meas.append(-1)
+                    fault_op.append(k)
+                    priors.append(float(p))
+        elif op.name == "PAULI_CHANNEL_2" and op.args is not None:
+            # parameter k (1-based, Stim order IX..ZZ) is the pair with
+            # code 4*A + B = k; per-Pauli priors, not the uniform p/15
+            for a, b in zip(t.tolist()[0::2], t.tolist()[1::2]):
+                for code, p in enumerate(op.args, start=1):
+                    if not p:
+                        continue
+                    pa, pb = code // 4, code % 4
+                    fault_x.append(
+                        ([a] if pa in (1, 2) else []) + ([b] if pb in (1, 2) else []))
+                    fault_z.append(
+                        ([a] if pa in (2, 3) else []) + ([b] if pb in (2, 3) else []))
+                    fault_meas.append(-1)
+                    fault_op.append(k)
+                    priors.append(float(p))
 
     F = len(priors)
     if F == 0:

@@ -47,7 +47,21 @@ def make_bp_decoder(
     :class:`QCBPDecoder` when the monomial count is in the kernel's sweet
     spot; otherwise the generic :class:`BPDecoder`.  Both expose the same
     ``decode_batch`` contract.
+
+    Auto-selection never picks the int8 BSR message path — it is a
+    measured regression vs bf16 at equal accuracy on every family
+    (``artifacts/bp_families_v5e.jsonl``) and is kept for ablations only;
+    callers must opt in explicitly via ``msg_dtype="int8"``.
     """
+    if opts.get("msg_dtype") == "int8":
+        import warnings
+
+        warnings.warn(
+            "msg_dtype='int8' is an ablation-only path: measured slower "
+            "than bf16 at equal accuracy on every tested family "
+            "(artifacts/bp_families_v5e.jsonl)",
+            stacklevel=2,
+        )
     H = sparse.csr_matrix(H)
     tanner = TannerELL.from_check_matrix(H)
     ops_bytes = _dense_ops_bytes(tanner)

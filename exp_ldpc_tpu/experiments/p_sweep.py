@@ -16,7 +16,6 @@ failures) — optionally sharded over a device mesh by the caller via
 from __future__ import annotations
 
 import json
-import re
 import sys
 from argparse import ArgumentParser
 from datetime import datetime
@@ -207,21 +206,30 @@ def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_p
     return pd.DataFrame.from_records(data)
 
 
-sweep_spec_re = re.compile(r"^\s*[(](.+),(.+),(.+)[)]\s*$")
-
-
 def parse_sweep_spec(x: str) -> Tuple[float, float, int]:
-    """Parse "(a, b, c)" with a <= b floats and c > 0 int (reference ``:45-55``)."""
-    result = sweep_spec_re.match(x)
-    if result is None:
+    """Parse a sweep-grid spec like ``(1e-3, 0.05, 6)``.
+
+    Accepts the same mini-DSL as the reference CLI (``misc/p_sweep.py:43-55``):
+    a parenthesized triple ``(lower, upper, points)`` with float bounds
+    ``lower <= upper`` and a positive integer point count.
+    """
+    body = x.strip()
+    if not (body.startswith("(") and body.endswith(")")):
+        raise RuntimeError(f"sweep spec must be a parenthesized triple, got {x!r}")
+    parts = body[1:-1].split(",")
+    if len(parts) != 3:
         raise RuntimeError(
-            "Unable to parse sweep specification, expecting (a, b, c) where a,b : float, "
-            "c : int, a<=b, and c > 0. Ex: (0.3, 1e3, 10)"
+            f"sweep spec needs exactly 3 comma-separated fields "
+            f"(lower, upper, points), got {len(parts)} in {x!r}"
         )
-    lower, upper, points = (g for g in result.group(1, 2, 3))
-    lower, upper, points = float(lower), float(upper), int(points)
-    if points <= 0 or lower > upper:
-        raise RuntimeError("Number of points non-positive or lower bound exceeded upper bound")
+    try:
+        lower, upper, points = float(parts[0]), float(parts[1]), int(parts[2])
+    except ValueError as exc:
+        raise RuntimeError(f"sweep spec {x!r}: {exc}") from exc
+    if points <= 0:
+        raise RuntimeError(f"sweep spec {x!r}: point count must be positive")
+    if lower > upper:
+        raise RuntimeError(f"sweep spec {x!r}: lower bound exceeds upper bound")
     return (lower, upper, points)
 
 

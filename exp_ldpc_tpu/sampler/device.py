@@ -154,6 +154,37 @@ def _apply_op(op_name, arg, targets, fx, fz, key):
         ef = _expand(mask, inv, e)
         fx = fx ^ ef
         fz = fz ^ ef
+    elif op_name == "PAULI_CHANNEL_1":
+        # one of X/Y/Z with DISJOINT probabilities; ``arg`` is the (px, py,
+        # pz) triple of (possibly traced) scalars.  One uniform draw per
+        # site selects the region — X flips fx, Z flips fz, Y flips both.
+        px, py, pz = arg
+        u = jax.random.uniform(jax.random.fold_in(key, 8), (t.size, S))
+        mask, inv = maps(t, t.size)
+        ex = (u < px + py).astype(jnp.uint8)
+        ez = ((u >= px) & (u < px + py + pz)).astype(jnp.uint8)
+        fx = fx ^ _expand(mask, inv, ex)
+        fz = fz ^ _expand(mask, inv, ez)
+    elif op_name == "PAULI_CHANNEL_2":
+        # one of the 15 two-qubit Paulis; Stim parameter order IX..ZZ means
+        # parameter k (1-based) is the pair with code 4*A + B = k.  The
+        # region index is a 15-threshold comparison sum (no searchsorted —
+        # keeps everything a dense VPU op over the (pairs, S) plane).
+        a, b = t[0::2], t[1::2]
+        cum = jnp.cumsum(jnp.stack(arg))
+        u = jax.random.uniform(jax.random.fold_in(key, 9), (a.size, S))
+        region = 1 + jnp.sum(
+            u[None, :, :] >= cum[:, None, None], axis=0).astype(jnp.int32)
+        pa, pb = region // 4, region % 4
+        hit = region <= 15
+        mask_a, inv_a = maps(a, a.size)
+        mask_b, inv_b = maps(b, b.size)
+        exa = (hit & ((pa == 1) | (pa == 2))).astype(jnp.uint8)
+        eza = (hit & ((pa == 2) | (pa == 3))).astype(jnp.uint8)
+        exb = (hit & ((pb == 1) | (pb == 2))).astype(jnp.uint8)
+        ezb = (hit & ((pb == 2) | (pb == 3))).astype(jnp.uint8)
+        fx = fx ^ _expand(mask_a, inv_a, exa) ^ _expand(mask_b, inv_b, exb)
+        fz = fz ^ _expand(mask_a, inv_a, eza) ^ _expand(mask_b, inv_b, ezb)
     else:  # pragma: no cover
         raise ValueError(f"unsupported op {op_name}")
     return fx, fz, rec
@@ -168,11 +199,15 @@ def _run_block(ops, fx, fz, record, key, rec_base, args):
     ai = 0
     for i, op in enumerate(ops):
         op_key = jax.random.fold_in(key, i)
-        if op.arg is not None:
+        n = op.num_noise_args
+        if n == 0:
+            arg = None
+        elif op.args is not None:  # multi-parameter channel: tuple of scalars
+            arg = tuple(args[ai + j] for j in range(n))
+            ai += n
+        else:
             arg = args[ai]
             ai += 1
-        else:
-            arg = None
         fx, fz, rec = _apply_op(op.name, arg, op.targets, fx, fz, op_key)
         if rec is not None:
             record = jax.lax.dynamic_update_slice(
@@ -198,7 +233,7 @@ def build_record_sampler(circuit: ParsedCircuit, shots: int, parametric: bool = 
     M = c.num_measurements
 
     def _block_args(ops, vec, base):
-        k = sum(1 for op in ops if op.arg is not None)
+        k = sum(op.num_noise_args for op in ops)
         return [vec[base + j] for j in range(k)], base + k
 
     def sample_impl(key, vec):

@@ -121,6 +121,27 @@ class FrameSampler:
                 e = bern(op.arg, (shots, t.size))
                 fx[:, t] ^= e
                 fz[:, t] ^= e
+            elif name == "PAULI_CHANNEL_1":
+                # one of X/Y/Z with DISJOINT probabilities (px, py, pz)
+                px, py, pz = (float(v) for v in op.args)
+                u = rng.random((shots, t.size))
+                fx[:, t] ^= (u < px + py).astype(np.uint8)
+                fz[:, t] ^= ((u >= px) & (u < px + py + pz)).astype(np.uint8)
+            elif name == "PAULI_CHANNEL_2":
+                # one of the 15 two-qubit Paulis, Stim parameter order
+                # IX IY IZ XI XX XY XZ YI YX YY YZ ZI ZX ZY ZZ
+                a, b = t[0::2], t[1::2]
+                u = rng.random((shots, a.size))
+                cum = np.concatenate([[0.0], np.cumsum(op.args)])
+                # parameter k (1-based) is the pair with code 4*A + B = k,
+                # A/B in (0=I, 1=X, 2=Y, 3=Z); region 16 = identity
+                region = np.searchsorted(cum, u, side="right")
+                pa, pb = region // 4, region % 4
+                hit = region <= 15
+                fx[:, a] ^= (hit & ((pa == 1) | (pa == 2))).astype(np.uint8)
+                fz[:, a] ^= (hit & ((pa == 2) | (pa == 3))).astype(np.uint8)
+                fx[:, b] ^= (hit & ((pb == 1) | (pb == 2))).astype(np.uint8)
+                fz[:, b] ^= (hit & ((pb == 2) | (pb == 3))).astype(np.uint8)
             else:  # pragma: no cover
                 raise ValueError(f"unsupported op {name}")
         assert meas_base == c.num_measurements

@@ -36,7 +36,7 @@ def main():
                 out = []
                 for j in range(8):  # static accumulator index, 8 dots/step
                     a = a_ref[pl.dslice(j * 128, 128), :]
-                    b = b_ref[pl.dslice(((i * 8 + j) % 64) * 128, 128), :]
+                    b = b_ref[pl.dslice(((i + j * 8) % 64) * 128, 128), :]
                     d = jnp.dot(a, b, preferred_element_type=acc_dtype
                                 ).astype(jnp.float32)
                     out.append(accs[j] + d)

@@ -280,3 +280,40 @@ def test_bsr_onehot_vmem_bitexact(code300):
                             False, 32, True, True)
     for x, y in zip(ai, bi):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("msf", [0.625, 1.0])
+def test_bsr_int8_degree_one_chunk_bitexact(msf):
+    """Regression (round-2 advisor finding): in a 128-check chunk whose max
+    live degree is 1, the second-min seed must act as the skipped padded
+    planes (+_SAT) would have — seeding with _SAT+1 diverges from the XLA
+    int8 kernel and, at ms_scaling_factor=1.0, wraps (128*256)>>8 = 128 to
+    -128 on the int8 cast, flipping message signs."""
+    from exp_ldpc_tpu.decoders.bp_int8 import Int8BPDecoder
+
+    rng = np.random.default_rng(5)
+    n = 256
+    # chunk 0 (checks 0..127): degree 3 — sets the global Dc, so padded
+    # slot planes exist; chunk 1 (checks 128..191): degree 1 — its padded
+    # planes are the ones the live-slot skip removes from the second-min.
+    H = np.zeros((192, n), dtype=np.uint8)
+    for i in range(128):
+        H[i, rng.choice(n, size=3, replace=False)] = 1
+    H[128 + np.arange(64), rng.choice(n, size=64, replace=False)] = 1
+    for j in range(n):
+        if not H[:, j].any():
+            H[rng.integers(128), j] = 1
+
+    synd = rng.integers(0, 2, size=(32, 192)).astype(np.uint8)
+    xla = Int8BPDecoder.from_check_matrix(
+        H, error_rate=3e-3, max_iter=4, ms_scaling_factor=msf, early_stop=False)
+    h_x, p_x, c_x, _ = xla.decode_batch(synd)
+
+    bsr = BSRBPDecoder.from_check_matrix(
+        H, error_rate=3e-3, max_iter=4, bp_method="ms",
+        ms_scaling_factor=msf, early_stop=False, shot_block=32,
+        interpret=True, msg_dtype="int8")
+    h_b, p_b, c_b, _ = bsr.decode_batch(synd)
+
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_x))
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_x), atol=1e-4)

@@ -118,3 +118,134 @@ def test_device_sampler_statistical_parity(small_code):
     # per-detector binomial 5-sigma bound
     sigma = np.sqrt(np.maximum(r_cpu * (1 - r_cpu), 1e-4) / shots) * np.sqrt(2)
     assert np.all(np.abs(r_cpu - r_dev) < 5 * sigma + 1e-3)
+
+
+# ---------- PAULI_CHANNEL_1 / PAULI_CHANNEL_2 (round-3: full vocabulary) ----------
+
+
+def test_pauli_channel_1_hand_cases():
+    # px=1: always X -> flips MZ, not MX
+    c = parse_circuit(["RZ 0", "PAULI_CHANNEL_1(1,0,0) 0", "MZ 0"])
+    assert np.all(FrameSampler(c, seed=0).sample(16) == 1)
+    # py=1: Y flips both bases
+    cy = parse_circuit(["RZ 0", "PAULI_CHANNEL_1(0,1,0) 0", "MZ 0"])
+    assert np.all(FrameSampler(cy, seed=0).sample(16) == 1)
+    cyx = parse_circuit(["RX 0", "PAULI_CHANNEL_1(0,1,0) 0", "MX 0"])
+    assert np.all(FrameSampler(cyx, seed=0).sample(16) == 1)
+    # pz=1: Z leaves MZ alone, flips MX
+    cz = parse_circuit(["RZ 0", "PAULI_CHANNEL_1(0,0,1) 0", "MZ 0"])
+    assert np.all(FrameSampler(cz, seed=0).sample(16) == 0)
+    czx = parse_circuit(["RX 0", "PAULI_CHANNEL_1(0,0,1) 0", "MX 0"])
+    assert np.all(FrameSampler(czx, seed=0).sample(16) == 1)
+
+
+def test_pauli_channel_1_marginals():
+    px, py, pz = 0.05, 0.1, 0.2
+    c = parse_circuit([f"RZ 0", f"PAULI_CHANNEL_1({px},{py},{pz}) 0", "MZ 0"])
+    shots = 40000
+    rate = FrameSampler(c, seed=1).sample(shots).mean()
+    want = px + py  # X or Y flips an MZ outcome
+    assert abs(rate - want) < 5 * np.sqrt(want * (1 - want) / shots)
+
+
+def test_pauli_channel_2_hand_cases():
+    # parameter #5 (1-based) has Pauli code 4*A+B = 5 -> XX: both MZ flip
+    args = ",".join("1" if k == 5 else "0" for k in range(1, 16))
+    c = parse_circuit(["RZ 0 1", f"PAULI_CHANNEL_2({args}) 0 1", "MZ 0 1"])
+    assert np.all(FrameSampler(c, seed=0).sample(16) == 1)
+    # parameter #3 -> code 3 = IZ: Z on the SECOND qubit only
+    args = ",".join("1" if k == 3 else "0" for k in range(1, 16))
+    c2 = parse_circuit(["RX 0 1", f"PAULI_CHANNEL_2({args}) 0 1", "MX 0 1"])
+    rec = FrameSampler(c2, seed=0).sample(16)
+    assert np.all(rec[:, 0] == 0) and np.all(rec[:, 1] == 1)
+    # parameter #8 -> code 8 = YI: Y on the FIRST qubit only
+    args = ",".join("1" if k == 8 else "0" for k in range(1, 16))
+    c3 = parse_circuit(["RZ 0 1", f"PAULI_CHANNEL_2({args}) 0 1", "MZ 0 1"])
+    rec3 = FrameSampler(c3, seed=0).sample(16)
+    assert np.all(rec3[:, 0] == 1) and np.all(rec3[:, 1] == 0)
+
+
+def test_pauli_channel_device_oracle_parity(small_code):
+    """Device sampler must match the CPU oracle statistically on a circuit
+    mixing both multi-parameter channels with the standard ones."""
+    from exp_ldpc_tpu.circuits.noise import apply_noise_pred
+    from exp_ldpc_tpu.core import NoiseRewriter
+
+    sim = build_storage_simulation(2, trivial_noise(), small_code)
+    # inject PAULI_CHANNEL_1 on data after every measurement layer
+    lines = []
+    for line in sim.circuit:
+        lines.append(line)
+        if line.startswith(("MRX", "MRZ")):
+            data = " ".join(str(q) for q in range(small_code.num_qubits))
+            lines.append(f"PAULI_CHANNEL_1(0.004,0.002,0.006) {data}")
+            lines.append(f"PAULI_CHANNEL_2({','.join(['0.002'] * 15)}) 0 1 2 3")
+    c = parse_circuit(lines)
+    shots = 4000
+    r_cpu = FrameSampler(c, seed=11).sample_detectors(shots).mean(axis=0)
+    ds = DeviceSampler(c, shots=shots)
+    r_dev = np.asarray(ds.sample_detectors(jax.random.PRNGKey(5))).mean(axis=0)
+    sigma = np.sqrt(np.maximum(r_cpu * (1 - r_cpu), 1e-4) / shots) * np.sqrt(2)
+    assert np.all(np.abs(r_cpu - r_dev) < 5 * sigma + 1e-3)
+
+
+def test_pauli_channel_dem_faults():
+    from exp_ldpc_tpu.decoders.dem import detector_error_model
+
+    c = parse_circuit([
+        "RZ 0",
+        "PAULI_CHANNEL_1(0.01,0.02,0.03) 0",
+        "MZ 0",
+        "DETECTOR rec[-1]",
+    ])
+    dem = detector_error_model(c)
+    # X and Y (p=.01+.02 merged by identical signature) flip the detector; Z never does
+    assert dem.num_faults == 1
+    p1, p2 = 0.01, 0.02
+    assert abs(dem.priors[0] - (p1 * (1 - p2) + p2 * (1 - p1))) < 1e-7
+
+    args = ",".join("0.01" if k in (3, 5) else "0" for k in range(1, 16))
+    c2 = parse_circuit([
+        "RZ 0 1",
+        f"PAULI_CHANNEL_2({args}) 0 1",
+        "MZ 0 1",
+        "DETECTOR rec[-2]",
+        "DETECTOR rec[-1]",
+    ])
+    dem2 = detector_error_model(c2)
+    # IZ (code 3) is unobservable in MZ; XX (code 5) fires BOTH detectors
+    assert dem2.num_faults == 1
+    assert abs(dem2.priors[0] - 0.01) < 1e-7
+    assert dem2.fault_detectors.toarray()[:, 0].tolist() == [1, 1]
+
+
+def test_correlated_error_rejected_at_parse():
+    with pytest.raises(ValueError, match="CORRELATED_ERROR is not implemented"):
+        parse_circuit(["RZ 0", "CORRELATED_ERROR(0.1) X0 X1", "MZ 0"])
+    with pytest.raises(ValueError, match="not implemented"):
+        parse_circuit(["RZ 0", "ELSE_CORRELATED_ERROR(0.1) X0", "MZ 0"])
+
+
+def test_pauli_channel_arity_validated():
+    with pytest.raises(ValueError, match="exactly 3"):
+        parse_circuit(["PAULI_CHANNEL_1(0.1,0.2) 0"])
+    with pytest.raises(ValueError, match="exactly 15"):
+        parse_circuit(["PAULI_CHANNEL_2(0.1) 0 1"])
+
+
+def test_pauli_channel_parametric_rebind(small_code):
+    """Two circuits differing only in channel probabilities share one
+    compiled parametric sampler (structure_signature equality)."""
+    def make(px):
+        lines = ["RZ 0 1", f"PAULI_CHANNEL_1({px},0.001,0.002) 0 1", "MZ 0 1"]
+        return parse_circuit(lines)
+
+    c1, c2 = make(0.3), make(0.001)
+    assert c1.structure_signature() == c2.structure_signature()
+    shots = 4096
+    d1 = DeviceSampler(c1, shots=shots)
+    d2 = DeviceSampler(c2, shots=shots)
+    assert d1._sample_parametric is d2._sample_parametric  # shared executable
+    r1 = np.asarray(d1.sample(jax.random.PRNGKey(0))).mean()
+    r2 = np.asarray(d2.sample(jax.random.PRNGKey(0))).mean()
+    assert r1 > 0.2 and r2 < 0.05  # probabilities rebound at runtime

@@ -151,3 +151,22 @@ def test_observable_supports_correct(test_code):
         support = np.asarray(recs) + n  # rec[v - n] encoding
         expected = np.nonzero(code.logicals.z[i])[0]
         assert sorted(support.tolist()) == expected.tolist()
+
+
+def test_repeat_count_colliding_with_ancilla_index():
+    """Regression: the race-check verifier must skip control-flow lines.
+
+    The reference's verifier parses ``REPEAT n {`` as a gate line and
+    collects ``n`` as a qubit target (reference ``storage_sim.py:100-107``);
+    with rounds chosen so that ``rounds - 1`` equals an ancilla index in the
+    same TICK chunk, that false-asserts.  Here the (3,4) HGP on nv=12 has
+    225 data qubits and X ancillas 225..332, so rounds=226 puts
+    ``REPEAT 225 {`` in the same chunk as ``RX 225 ...``.
+    """
+    from exp_ldpc_tpu.circuits.noise import trivial_noise
+    from exp_ldpc_tpu.codes.hgp import biregular_hgp
+
+    code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
+    assert code.num_qubits == 225
+    sim = build_storage_simulation(226, trivial_noise(), code, use_x_logicals=False)
+    assert any(l.startswith("REPEAT 225 {") for l in sim.circuit)
