@@ -50,9 +50,10 @@ def _spacetime_prior(spacetime, data_prior: float, meas_prior: float) -> np.ndar
 class BPOSDCorrect:
     """BP+OSD on the full spacetime matrix (reference ``:62-83``)."""
 
-    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float],
+                 basis: str = "z"):
         data_prior, meas_prior = priors
-        self._checks = code.checks.z
+        self._checks = code.checks.x if basis == "x" else code.checks.z
         self._spacetime_code = SpacetimeCode(self._checks, rounds)
         prior_vec = _spacetime_prior(self._spacetime_code, data_prior, meas_prior)
         # structured spacetime BP: same flooding math, (rounds+1)x fewer FLOPs
@@ -82,23 +83,24 @@ class BPOSDCorrectSingleShot:
     clean final-round decode (reference ``:12-60``) — rounds loop on host,
     shots batched inside each step."""
 
-    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float],
+                 basis: str = "z"):
         from .select import qc_kwargs_for_code, qc_kwargs_single_shot
 
         data_prior, meas_prior = priors
         self._rounds = rounds
-        self._checks = code.checks.z
+        self._checks = code.checks.x if basis == "x" else code.checks.z
         self._Hd = self._checks.toarray()
         self._spacetime_code = SpacetimeCodeSingleShot(self._checks)
         self._bpd_single_shot = BPOSDDecoder.from_check_matrix(
             self._spacetime_code.spacetime_check_matrix,
             channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
-            **qc_kwargs_single_shot(code),
+            **qc_kwargs_single_shot(code, sector=basis),
             **bp_osd_options,
         )
         self._bpd_final_round = BPOSDDecoder.from_check_matrix(
             self._checks, error_rate=data_prior,
-            **qc_kwargs_for_code(code), **bp_osd_options
+            **qc_kwargs_for_code(code, sector=basis), **bp_osd_options
         )
 
     def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
@@ -121,10 +123,11 @@ class BPOSDHybridCorrect:
     """Plain BP on the spacetime matrix + BP+OSD on the final round
     (reference ``:85-126``)."""
 
-    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float],
+                 basis: str = "z"):
         data_prior, meas_prior = priors
         self._rounds = rounds
-        self._checks = code.checks.z
+        self._checks = code.checks.x if basis == "x" else code.checks.z
         self._HdT = self._checks.T.toarray()
         self._spacetime_code = SpacetimeCode(self._checks, rounds)
         bp_options = {
@@ -139,7 +142,7 @@ class BPOSDHybridCorrect:
 
         self._bpd_final_round = BPOSDDecoder.from_check_matrix(
             self._checks, error_rate=data_prior,
-            **qc_kwargs_for_code(code), **bp_osd_options
+            **qc_kwargs_for_code(code, sector=basis), **bp_osd_options
         )
 
     def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
@@ -158,7 +161,8 @@ class SlidingWindowCorrect:
     reference stubbed it at ``spacetime_code.py:95-96``).  ``window_size`` /
     ``window_commit`` keys extend the bposd option dict."""
 
-    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float],
+                 basis: str = "z"):
         from .sliding_window import SlidingWindowDecoder
 
         data_prior, meas_prior = priors
@@ -166,7 +170,8 @@ class SlidingWindowCorrect:
         window = int(opts.pop("window_size", 4))
         commit = opts.pop("window_commit", None)
         self._dec = SlidingWindowDecoder(
-            code.checks.z, data_prior, meas_prior, window=window,
+            code.checks.x if basis == "x" else code.checks.z,
+            data_prior, meas_prior, window=window,
             commit=None if commit is None else int(commit), bp_options=opts)
 
     def readout_correction_batch(self, history: np.ndarray, readout: np.ndarray) -> np.ndarray:
@@ -185,18 +190,20 @@ class SSFCorrect:
     noise is corrected by the same greedy gain rule.  ``ssf_max_iter``
     extends the option dict (0 = one flip per spacetime column)."""
 
-    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float],
+                 basis: str = "z"):
         from scipy import sparse
 
         from .flip import SmallSetFlipDecoder
 
         self._rounds = rounds
-        self._checks = code.checks.z
+        self._checks = code.checks.x if basis == "x" else code.checks.z
         self._Hd = self._checks.toarray()
         self._spacetime_code = SpacetimeCodeSingleShot(self._checks)
         max_iter = int(dict(bp_osd_options).get("ssf_max_iter", 0) or 0)
         r, n = self._checks.shape
-        gx = code.checks.x
+        # flip generators come from the OPPOSITE sector's stabilizers
+        gx = code.checks.z if basis == "x" else code.checks.x
         gen_data = sparse.hstack(
             [gx, sparse.csr_matrix((gx.shape[0], r), dtype=np.uint8)]
         )
@@ -233,11 +240,12 @@ class RelayBPCorrect:
     and ``relay_iters_per_leg`` extend it (budget defaults mirror the
     ensemble sizes of the paper)."""
 
-    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float]):
+    def __init__(self, code: QuantumCode, rounds: int, bp_osd_options: Dict, priors: Tuple[float, float],
+                 basis: str = "z"):
         from .relay_bp import RelayBPDecoder
 
         data_prior, meas_prior = priors
-        self._checks = code.checks.z
+        self._checks = code.checks.x if basis == "x" else code.checks.z
         self._spacetime_code = SpacetimeCode(self._checks, rounds)
         opts = dict(bp_osd_options)
         num_legs = int(opts.pop("relay_legs", 8))
@@ -296,6 +304,7 @@ def run_simulation(
     decoder_mode: str,
     seed: Optional[int] = None,
     use_device_sampler: Optional[bool] = None,
+    use_x_logicals: Optional[bool] = None,
 ):
     """Build the storage circuit, sample, decode every shot, return per-shot
     logical-failure booleans (reference ``:154-210``, batch-vectorized).
@@ -303,7 +312,15 @@ def run_simulation(
     ``meas_prior`` / ``data_prior`` are callables ``(x_steps, z_steps) ->
     float`` following the reference's prior-of-circuit-depth hook
     (``:160-168``).
+
+    ``use_x_logicals`` runs the X-basis memory experiment end-to-end: the
+    circuit prepares/reads |+> (``storage_sim.py:110-118``), and the decode
+    path uses ``checks.x`` / ``logicals.x`` on the X-check history block —
+    the reference hardcodes the Z basis here (``misc/_experiment.py:165``).
     """
+    if use_x_logicals is None:
+        use_x_logicals = False
+    basis = "x" if use_x_logicals else "z"
     checks = code.checks
     logicals = code.logicals
 
@@ -311,27 +328,27 @@ def run_simulation(
     z_steps = max(int(checks.z.sum(axis=0).max()), int(checks.z.sum(axis=1).max()))
 
     storage_sim = build_storage_simulation(
-        rounds, noise_model(**noise_model_args), code, use_x_logicals=False
+        rounds, noise_model(**noise_model_args), code, use_x_logicals=use_x_logicals
     )
     meas_p = meas_prior(x_steps, z_steps)
     data_p = data_prior(x_steps, z_steps)
 
     detectors = decoder_mode == "bpd_detector"
     if decoder_mode == "bposd":
-        decoder = BPOSDCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+        decoder = BPOSDCorrect(code, rounds, bp_osd_options, (data_p, meas_p), basis=basis)
     elif decoder_mode == "bposd_single_shot":
-        decoder = BPOSDCorrectSingleShot(code, rounds, bp_osd_options, (data_p, meas_p))
+        decoder = BPOSDCorrectSingleShot(code, rounds, bp_osd_options, (data_p, meas_p), basis=basis)
     elif decoder_mode == "bposd_hybrid":
-        decoder = BPOSDHybridCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+        decoder = BPOSDHybridCorrect(code, rounds, bp_osd_options, (data_p, meas_p), basis=basis)
     elif decoder_mode == "bpd_detector":
         dem = detector_error_model(storage_sim.circuit)
         decoder = BPDetectorCorrect(dem, bp_osd_options)
     elif decoder_mode == "relay_bp":
-        decoder = RelayBPCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+        decoder = RelayBPCorrect(code, rounds, bp_osd_options, (data_p, meas_p), basis=basis)
     elif decoder_mode == "ssf_single_shot":
-        decoder = SSFCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+        decoder = SSFCorrect(code, rounds, bp_osd_options, (data_p, meas_p), basis=basis)
     elif decoder_mode == "sliding_window":
-        decoder = SlidingWindowCorrect(code, rounds, bp_osd_options, (data_p, meas_p))
+        decoder = SlidingWindowCorrect(code, rounds, bp_osd_options, (data_p, meas_p), basis=basis)
     else:
         raise RuntimeError("Unknown decoder operation mode")
 
@@ -364,18 +381,23 @@ def run_simulation(
     z_count = checks.z.shape[0]
     mpr = x_count + z_count
     S = batch.shape[0]
+    # record layout per round: [x_checks..., z_checks...]; decode the block
+    # belonging to the memory basis (X-basis readout is measured by X checks)
+    blk_off = 0 if use_x_logicals else x_count
+    blk_len = x_count if use_x_logicals else z_count
     if rounds > 0:
         history = np.stack(
-            [batch[:, r * mpr + x_count : r * mpr + x_count + z_count] for r in range(rounds)],
+            [batch[:, r * mpr + blk_off : r * mpr + blk_off + blk_len] for r in range(rounds)],
             axis=1,
         ).astype(np.int64)
     else:
-        history = np.zeros((S, 0, z_count), dtype=np.int64)
+        history = np.zeros((S, 0, blk_len), dtype=np.int64)
     readout = batch[:, mpr * rounds : mpr * rounds + code.num_qubits].astype(np.int64)
 
     correction = decoder.readout_correction_batch(history, readout)
     corrected_readout = (readout + correction) % 2
-    logical_flips = (corrected_readout @ logicals.z.T.astype(np.int64)) % 2
+    final_logicals = logicals.x if use_x_logicals else logicals.z
+    logical_flips = (corrected_readout @ final_logicals.T.astype(np.int64)) % 2
     return list(np.any(logical_flips != 0, axis=1))
 
 

@@ -62,7 +62,8 @@ class _PipelineSweeper:
 
     def __init__(self, code, rounds, noise_model, noise_model_args,
                  meas_prior, data_prior, bp_osd_options,
-                 mesh_devices: int, shots_per_device: int):
+                 mesh_devices: int, shots_per_device: int,
+                 use_x_logicals: bool = False):
         checks = code.checks
         self._x_steps = max(int(checks.x.sum(axis=0).max()),
                             int(checks.x.sum(axis=1).max()))
@@ -76,6 +77,7 @@ class _PipelineSweeper:
         self.data_prior = data_prior
         self.options = dict(bp_osd_options)
         self.shots_per_device = shots_per_device
+        self.use_x_logicals = use_x_logicals
         self.mesh = None
         self.n_devices = 1
         if mesh_devices > 1:
@@ -108,6 +110,7 @@ class _PipelineSweeper:
                 mesh=self.mesh,
                 osd_fallback_cap=self.shots_per_device,
                 osd_options=opts,
+                use_x_logicals=self.use_x_logicals,
             )
         else:
             self.pipe.rebind_noise(noise, data_p, meas_p)
@@ -160,6 +163,7 @@ def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_p
             bp_osd_options=kwargs["bp_osd_options"],
             mesh_devices=int(pipeline.get("mesh_devices", 1)),
             shots_per_device=int(pipeline.get("shots_per_device", 4096)),
+            use_x_logicals=bool(kwargs.get("use_x_logicals", False)),
         )
 
     for i, p_ph in enumerate(p_values):
@@ -267,6 +271,11 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
         "--cpu_sampler", action="store_true", help="Use the CPU oracle sampler instead of the device sampler"
     )
     parser.add_argument(
+        "--x_basis", action="store_true",
+        help="Run the X-basis memory experiment (prepare/read |+>, decode "
+        "X errors with the X checks/logicals) instead of the Z basis",
+    )
+    parser.add_argument(
         "--checkpoint", type=Path, default=None,
         help="JSONL file to stream completed sweep points to; re-running with "
         "the same file resumes after the last completed point",
@@ -304,6 +313,7 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
         p_values=sweep,
         decoder_mode=args.decoder_mode,
         bp_osd_options=bp_osd_options,
+        use_x_logicals=args.x_basis,
         seed=args.seed,
         use_device_sampler=not args.cpu_sampler,
         checkpoint=args.checkpoint,

@@ -75,28 +75,37 @@ class StorageDecodePipeline:
     # ``misc/_experiment.py:62-83``).  Use :meth:`run_bposd`.
     osd_fallback_cap: int = 0
     osd_options: Optional[dict] = None
+    # X-basis memory experiment: prepare/read |+>, decode the X-check
+    # history with checks.x / logicals.x (reference surface
+    # ``storage_sim.py:110-118``; its drivers hardcode Z)
+    use_x_logicals: bool = False
 
     def __post_init__(self):
         code = self.code
-        sim = build_storage_simulation(self.rounds, self.noise_model, code, use_x_logicals=False)
+        sim = build_storage_simulation(
+            self.rounds, self.noise_model, code,
+            use_x_logicals=self.use_x_logicals)
         self.storage_sim = sim
         self.parsed = parse_circuit(sim.circuit)
         self.x_count = code.checks.x.shape[0]
         self.z_count = code.checks.z.shape[0]
         self.num_data = code.num_qubits
+        checks_sector = code.checks.x if self.use_x_logicals else code.checks.z
+        self._sector_logicals = (
+            code.logicals.x if self.use_x_logicals else code.logicals.z)
 
-        self.spacetime = SpacetimeCode(code.checks.z, self.rounds)
+        self.spacetime = SpacetimeCode(checks_sector, self.rounds)
         # structured spacetime BP (decoders/spacetime_bp.py): per-round
         # batched routing on the BASE code's Tanner graph — (rounds+1)x fewer
         # FLOPs than generic BP on the stacked spacetime matrix
-        self.tanner = TannerELL.from_check_matrix(code.checks.z)
+        self.tanner = TannerELL.from_check_matrix(checks_sector)
         prior = np.zeros(self.spacetime.spacetime_check_matrix.shape[1])
         prior[: self.spacetime._datablock_size] = self.data_prior
         prior[self.spacetime._datablock_size:] = self.meas_prior
         self.prior_llr = priors_to_llr(prior)
 
-        self._Hz = jnp.asarray(code.checks.z.toarray(), dtype=jnp.float32)  # (r, n)
-        self._Lz = jnp.asarray(code.logicals.z, dtype=jnp.float32)  # (k, n)
+        self._Hz = jnp.asarray(checks_sector.toarray(), dtype=jnp.float32)  # (r, n)
+        self._Lz = jnp.asarray(self._sector_logicals, dtype=jnp.float32)  # (k, n)
 
         # dense one-hot BP operands as runtime args (multi-MB HLO constants
         # make remote compiles pathologically slow)
@@ -127,7 +136,8 @@ class StorageDecodePipeline:
         opts.setdefault("bp_method", self.bp_method)
         opts.setdefault("ms_scaling_factor", self.ms_scaling_factor)
         return BPOSDCorrect(self.code, self.rounds, opts,
-                            (self.data_prior, self.meas_prior))
+                            (self.data_prior, self.meas_prior),
+                            basis="x" if self.use_x_logicals else "z")
 
     def _resolve_backend(self) -> bool:
         from ..decoders.spacetime_bp_pallas import fits_stbp_pallas
@@ -159,13 +169,15 @@ class StorageDecodePipeline:
         """Shared decode path: (S, M) record -> (failures, shots, unconv)."""
         S = record.shape[0]
         rounds = self.rounds
-        r = self.z_count
+        r = self.x_count if self.use_x_logicals else self.z_count
         mpr = self.x_count + self.z_count
-        # per-round z-check syndromes + final syndrome from transversal readout
+        # per-round memory-basis syndromes + final syndrome from transversal
+        # readout (record layout per round: [x_checks..., z_checks...])
+        blk = 0 if self.use_x_logicals else self.x_count
         readout = record[:, mpr * rounds : mpr * rounds + self.num_data]
         if rounds > 0:
             per_round = record[:, : mpr * rounds].reshape(S, rounds, mpr)
-            history = per_round[:, :, self.x_count :]  # (S, rounds, r)
+            history = per_round[:, :, blk : blk + r]  # (S, rounds, r)
         else:
             history = jnp.zeros((S, 0, r), dtype=jnp.float32)
         final = jnp.mod(readout @ self._Hz.T, 2.0)  # (S, r)
@@ -307,7 +319,8 @@ class StorageDecodePipeline:
         circuit must have the same structure (same channels in the same
         places), which holds across the p grid of a sweep."""
         sim = build_storage_simulation(
-            self.rounds, noise_model, self.code, use_x_logicals=False)
+            self.rounds, noise_model, self.code,
+            use_x_logicals=self.use_x_logicals)
         parsed = parse_circuit(sim.circuit)
         if parsed.structure_signature() != self.parsed.structure_signature():
             raise ValueError(

@@ -148,3 +148,71 @@ def test_sharded_bp_decodes_spacetime_matrix(small_code):
         assert np.array_equal((hs[i] @ H.T.toarray()) % 2, synds[i])
     assert (np.asarray(cr) == cs).mean() >= 0.9
     assert (np.asarray(hr) == hs).mean() >= 0.99
+
+
+def test_x_basis_ler_matches_z_basis_on_self_dual_code():
+    """X-basis memory decodes end-to-end (VERDICT r2 item 7): on the toric
+    code (self-dual: X/Z sectors isomorphic) under symmetric depolarizing
+    noise, the X-basis LER must statistically match the Z-basis LER."""
+    from exp_ldpc_tpu.codes.surface import toric_code
+
+    code = toric_code(4, compute_logicals=True)
+    p = 0.04
+    rounds = 2
+    shots = 1500
+    kwargs = dict(
+        code=code,
+        meas_prior=lambda xs, zs: 2 / 3 * p,
+        data_prior=lambda xs, zs: 2 / 3 * p,
+        noise_model=depolarizing_noise,
+        noise_model_args={"p": p, "pm": p},
+        bp_osd_options=dict(max_iter=24, bp_method="ms", ms_scaling_factor=0.625,
+                            osd_method="osd0", osd_order=0),
+        rounds=rounds,
+        decoder_mode="bposd",
+        use_device_sampler=False,
+    )
+    fz = sum(run_simulation(shots, seed=3, use_x_logicals=False, **kwargs))
+    fx = sum(run_simulation(shots, seed=4, use_x_logicals=True, **kwargs))
+    assert fz > 0 and fx > 0
+    gap = _binomial_sigma_gap(fz, shots, fx, shots, k=3)
+    assert gap < 0, (fz, fx, gap)
+
+
+def test_x_basis_pipeline_matches_host_driver():
+    """The fused pipeline with use_x_logicals=True must agree with the host
+    X-basis driver chain within binomial bounds."""
+    import jax
+
+    from exp_ldpc_tpu.codes.surface import toric_code
+
+    code = toric_code(4, compute_logicals=True)
+    p = 0.04
+    rounds = 2
+    shots = 1500
+    pipe = StorageDecodePipeline(
+        code=code, rounds=rounds, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=shots, max_iter=24, bp_method="ms",
+        ms_scaling_factor=0.625, osd_fallback_cap=shots,
+        osd_options=dict(osd_method="osd0", osd_order=0),
+        use_x_logicals=True)
+    f_dev, n_dev, _ = pipe.run_bposd(jax.random.PRNGKey(9))
+    f_host = sum(run_simulation(
+        shots,
+        code=code,
+        meas_prior=lambda xs, zs: 2 / 3 * p,
+        data_prior=lambda xs, zs: 2 / 3 * p,
+        noise_model=depolarizing_noise,
+        noise_model_args={"p": p, "pm": p},
+        bp_osd_options=dict(max_iter=24, bp_method="ms", ms_scaling_factor=0.625,
+                            osd_method="osd0", osd_order=0),
+        rounds=rounds,
+        decoder_mode="bposd",
+        seed=5,
+        use_device_sampler=False,
+        use_x_logicals=True,
+    ))
+    assert f_dev > 0 and f_host > 0
+    gap = _binomial_sigma_gap(f_dev, n_dev, f_host, shots, k=3)
+    assert gap < 0, (f_dev, f_host, gap)
