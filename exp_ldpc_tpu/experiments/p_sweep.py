@@ -63,7 +63,7 @@ class _PipelineSweeper:
     def __init__(self, code, rounds, noise_model, noise_model_args,
                  meas_prior, data_prior, bp_osd_options,
                  mesh_devices: int, shots_per_device: int,
-                 use_x_logicals: bool = False):
+                 use_x_logicals: bool = False, mode: str = "bposd"):
         checks = code.checks
         self._x_steps = max(int(checks.x.sum(axis=0).max()),
                             int(checks.x.sum(axis=1).max()))
@@ -78,6 +78,7 @@ class _PipelineSweeper:
         self.options = dict(bp_osd_options)
         self.shots_per_device = shots_per_device
         self.use_x_logicals = use_x_logicals
+        self.mode = mode
         self.mesh = None
         self.n_devices = 1
         if mesh_devices > 1:
@@ -111,6 +112,7 @@ class _PipelineSweeper:
                 osd_fallback_cap=self.shots_per_device,
                 osd_options=opts,
                 use_x_logicals=self.use_x_logicals,
+                mode=self.mode,
             )
         else:
             self.pipe.rebind_noise(noise, data_p, meas_p)
@@ -149,10 +151,11 @@ def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_p
 
     sweeper = None
     if pipeline is not None:
-        if kwargs.get("decoder_mode", "bposd") != "bposd":
+        mode = kwargs.get("decoder_mode", "bposd")
+        if mode not in ("bposd", "bposd_single_shot", "bposd_hybrid"):
             raise ValueError(
-                "the fused pipeline implements the 'bposd' mode; drop "
-                "--pipeline for other decoder modes")
+                "the fused pipeline implements the bposd/bposd_single_shot/"
+                "bposd_hybrid modes; drop --pipeline for other decoder modes")
         sweeper = _PipelineSweeper(
             code=kwargs["code"],
             rounds=kwargs.get("rounds", 1),
@@ -164,6 +167,7 @@ def p_sweep(samples, p_values, noise_model, noise_model_args, meas_prior, data_p
             mesh_devices=int(pipeline.get("mesh_devices", 1)),
             shots_per_device=int(pipeline.get("shots_per_device", 4096)),
             use_x_logicals=bool(kwargs.get("use_x_logicals", False)),
+            mode=mode,
         )
 
     for i, p_ph in enumerate(p_values):
@@ -283,8 +287,9 @@ def p_sweep_main(noise_model_args, noise_model, meas_prior, data_prior):
     parser.add_argument(
         "--pipeline", action="store_true",
         help="Run each sweep point through the fused on-device "
-        "sample+decode pipeline (bposd mode only): BP on device, OSD on the "
-        "returned BP failures, one compile for the whole sweep",
+        "sample+decode pipeline (bposd, bposd_single_shot, and bposd_hybrid "
+        "modes): BP on device, host BP+OSD redecode of the returned BP "
+        "failures, one compile for the whole sweep",
     )
     parser.add_argument(
         "--mesh_devices", type=int, default=1,

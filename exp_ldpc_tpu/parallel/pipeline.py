@@ -23,10 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from scipy import sparse
+
 from ..circuits.ir import ParsedCircuit, parse_circuit
 from ..circuits.storage_sim import build_storage_simulation
 from ..core import QuantumCode
-from ..decoders.bp import dense_ops_device, priors_to_llr, resolve_use_matmul
+from ..decoders.bp import _bp_core, dense_ops_device, priors_to_llr, resolve_use_matmul
 from ..decoders.spacetime_bp import _stbp_core
 from ..decoders.spacetime import SpacetimeCode
 from ..decoders.tanner import TannerELL
@@ -79,6 +81,19 @@ class StorageDecodePipeline:
     # history with checks.x / logicals.x (reference surface
     # ``storage_sim.py:110-118``; its drivers hardcode Z)
     use_x_logicals: bool = False
+    # decode contract, mirroring the reference's three bposd modes
+    # (``misc/_experiment.py:12-126``), each fully fused on device:
+    #   "bposd"             — BP on the whole spacetime matrix
+    #   "bposd_single_shot" — per-round (H|I) BP inside a lax.scan with the
+    #                         accumulated-correction recurrence, then a
+    #                         clean final-round BP (the reference runs this
+    #                         loop on the HOST with one device round-trip
+    #                         per round)
+    #   "bposd_hybrid"      — spacetime BP + final-round BP
+    # In every mode, shots with ANY unconverged BP stage are shipped to the
+    # host where the matching BP+OSD driver redecodes them (the OSD-only-
+    # on-BP-failures contract).
+    mode: str = "bposd"
 
     def __post_init__(self):
         code = self.code
@@ -114,10 +129,26 @@ class StorageDecodePipeline:
         else:
             self._dense_ops = None
 
+        if self.mode not in ("bposd", "bposd_single_shot", "bposd_hybrid"):
+            raise ValueError(f"unknown pipeline mode {self.mode!r}")
+        self.tanner_ss = None
+        self._dense_ss = None
+        if self.mode == "bposd_single_shot":
+            # per-round decode matrix (H|I): measurement-error columns as an
+            # identity block (reference ``spacetime_code.py:10-37``)
+            r_sector = checks_sector.shape[0]
+            H_ss = sparse.hstack(
+                [checks_sector,
+                 sparse.identity(r_sector, dtype=np.uint8, format="csr")]
+            ).tocsr()
+            self.tanner_ss = TannerELL.from_check_matrix(H_ss)
+            if resolve_use_matmul(self.tanner_ss, "auto"):
+                self._dense_ss = dense_ops_device(self.tanner_ss)
+
         # runtime-rebindable parameters: noise probabilities + BP priors.
         # One compile serves a whole p sweep (see rebind_noise)
         self._noise_args = jnp.asarray(self.parsed.noise_args())
-        self._prior = jnp.asarray(self.prior_llr)
+        self._prior = self._prior_tree()
 
         self._osd = None
         if self.osd_fallback_cap > 0:
@@ -128,21 +159,55 @@ class StorageDecodePipeline:
         self._pallas = self._resolve_backend()
         self._step = self._build()
 
+    def _prior_tree(self):
+        """The runtime prior arguments for the current mode (a pytree)."""
+        if self.mode == "bposd":
+            return (jnp.asarray(self.prior_llr),)
+        final = priors_to_llr(np.full(self.num_data, self.data_prior))
+        if self.mode == "bposd_hybrid":
+            return (jnp.asarray(self.prior_llr), jnp.asarray(final))
+        r_sector = self.tanner_ss.num_vars - self.num_data
+        ss = priors_to_llr(np.concatenate([
+            np.full(self.num_data, self.data_prior),
+            np.full(r_sector, self.meas_prior),
+        ]))
+        return (jnp.asarray(ss), jnp.asarray(final))
+
+    def _dense_tree(self):
+        if self.mode == "bposd_single_shot":
+            return (self._dense_ss, self._dense_ops)
+        return (self._dense_ops, self._dense_ops)
+
     def _build_osd_corrector(self):
-        from ..decoders.drivers import BPOSDCorrect
+        from ..decoders.drivers import (
+            BPOSDCorrect,
+            BPOSDCorrectSingleShot,
+            BPOSDHybridCorrect,
+        )
 
         opts = dict(self.osd_options or {})
         opts.setdefault("max_iter", self.max_iter)
         opts.setdefault("bp_method", self.bp_method)
         opts.setdefault("ms_scaling_factor", self.ms_scaling_factor)
-        return BPOSDCorrect(self.code, self.rounds, opts,
-                            (self.data_prior, self.meas_prior),
-                            basis="x" if self.use_x_logicals else "z")
+        cls = {
+            "bposd": BPOSDCorrect,
+            "bposd_single_shot": BPOSDCorrectSingleShot,
+            "bposd_hybrid": BPOSDHybridCorrect,
+        }[self.mode]
+        return cls(self.code, self.rounds, opts,
+                   (self.data_prior, self.meas_prior),
+                   basis="x" if self.use_x_logicals else "z")
 
     def _resolve_backend(self) -> bool:
         from ..decoders.spacetime_bp_pallas import fits_stbp_pallas
 
         if self.bp_backend == "xla":
+            return False
+        if self.mode == "bposd_single_shot":  # no spacetime-BP stage
+            if self.bp_backend == "pallas":
+                raise ValueError(
+                    "bp_backend='pallas' applies to the spacetime-BP stage; "
+                    "bposd_single_shot has none")
             return False
         if self.early_stop:  # kernel is fixed-iteration only
             if self.bp_backend == "pallas":
@@ -180,60 +245,112 @@ class StorageDecodePipeline:
             history = per_round[:, :, blk : blk + r]  # (S, rounds, r)
         else:
             history = jnp.zeros((S, 0, r), dtype=jnp.float32)
-        final = jnp.mod(readout @ self._Hz.T, 2.0)  # (S, r)
-        synd = jnp.concatenate([history, final[:, None, :]], axis=1)  # (S, rounds+1, r)
-        synd = jnp.concatenate(
-            [synd[:, :1], jnp.mod(synd[:, 1:] + synd[:, :-1], 2.0)], axis=1
-        )
-        synd = synd.reshape(S, (rounds + 1) * r).astype(jnp.uint8)
-
-        if self._pallas:
-            from ..decoders.spacetime_bp_pallas import stbp_pallas_fixed
-
-            hard, _post, conv, _iters = stbp_pallas_fixed(
-                self.tanner, rounds, prior_llr, synd.T,
-                self.bp_method, self.max_iter, float(self.ms_scaling_factor),
-            )
-        else:
-            hard, _post, conv, _iters = _stbp_core(
-                self.tanner,
-                rounds,
-                prior_llr,
-                synd.T,
-                self.bp_method,
-                self.max_iter,
-                jnp.float32(self.ms_scaling_factor),
-                self.early_stop,
-                "auto",
-                dense_ops,
-                self.msg_dtype,
-            )
-        # final-round correction: mod-2 sum of the per-round data blocks
         n = self.num_data
-        data_blocks = hard.T[:, : (rounds + 1) * n].reshape(S, rounds + 1, n)
-        correction = jnp.mod(jnp.sum(data_blocks, axis=1), 2).astype(jnp.float32)
+        msf = jnp.float32(self.ms_scaling_factor)
+
+        if self.mode == "bposd_single_shot":
+            # the reference runs this recurrence on the HOST with one
+            # device round-trip and two numpy matmuls per round
+            # (``misc/_experiment.py:43-60``); here the whole rounds loop is
+            # a lax.scan inside the one fused program
+            prior_ss, prior_final = prior_llr
+            dense_ss, dense_final = dense_ops
+            HzT = self._Hz.T  # (n, r)
+
+            def body(carry, hist_t):
+                acc, bad = carry
+                corr = jnp.mod(acc @ HzT, 2.0)
+                s_t = jnp.mod(corr + hist_t, 2.0).astype(jnp.uint8)
+                hard_t, _p, conv_t, _i = _bp_core(
+                    self.tanner_ss, prior_ss, s_t.T, self.bp_method,
+                    self.max_iter, msf, self.early_stop, "auto", dense_ss)
+                acc = jnp.mod(acc + hard_t.T[:, :n].astype(jnp.float32), 2.0)
+                return (acc, bad | ~conv_t), None
+
+            init = (jnp.zeros((S, n), jnp.float32), jnp.zeros((S,), bool))
+            (acc, bad), _ = jax.lax.scan(body, init, history.transpose(1, 0, 2))
+            readout2 = jnp.mod(readout + acc, 2.0)
+            synd_f = jnp.mod(readout2 @ HzT, 2.0).astype(jnp.uint8)
+            hard_f, _p, conv_f, _i = _bp_core(
+                self.tanner, prior_final, synd_f.T, self.bp_method,
+                self.max_iter, msf, self.early_stop, "auto", dense_final)
+            ship = bad | ~conv_f
+            correction = jnp.mod(hard_f.T.astype(jnp.float32) + acc, 2.0)
+        else:
+            # spacetime-BP stage (modes "bposd" and "bposd_hybrid")
+            prior_main = prior_llr[0]
+            dense_main = dense_ops[0]
+            final = jnp.mod(readout @ self._Hz.T, 2.0)  # (S, r)
+            synd = jnp.concatenate([history, final[:, None, :]], axis=1)
+            synd = jnp.concatenate(
+                [synd[:, :1], jnp.mod(synd[:, 1:] + synd[:, :-1], 2.0)], axis=1
+            )
+            synd = synd.reshape(S, (rounds + 1) * r).astype(jnp.uint8)
+
+            if self._pallas:
+                from ..decoders.spacetime_bp_pallas import stbp_pallas_fixed
+
+                hard, _post, conv, _iters = stbp_pallas_fixed(
+                    self.tanner, rounds, prior_main, synd.T,
+                    self.bp_method, self.max_iter, float(self.ms_scaling_factor),
+                )
+            else:
+                hard, _post, conv, _iters = _stbp_core(
+                    self.tanner,
+                    rounds,
+                    prior_main,
+                    synd.T,
+                    self.bp_method,
+                    self.max_iter,
+                    msf,
+                    self.early_stop,
+                    "auto",
+                    dense_main,
+                    self.msg_dtype,
+                )
+            # mod-2 sum of the per-round data blocks
+            data_blocks = hard.T[:, : (rounds + 1) * n].reshape(S, rounds + 1, n)
+            bp_corr = jnp.mod(jnp.sum(data_blocks, axis=1), 2).astype(jnp.float32)
+            if self.mode == "bposd":
+                correction = bp_corr
+                ship = ~conv
+            else:
+                # hybrid: clean final-round BP on top of the plain spacetime
+                # BP (``misc/_experiment.py:115-126``); only the final
+                # round's BP carries the OSD fallback in the reference
+                prior_final = prior_llr[1]
+                dense_final = dense_ops[1]
+                readout2 = jnp.mod(readout + bp_corr, 2.0)
+                synd_f = jnp.mod(readout2 @ self._Hz.T, 2.0).astype(jnp.uint8)
+                hard_f, _p, conv_f, _i = _bp_core(
+                    self.tanner, prior_final, synd_f.T, self.bp_method,
+                    self.max_iter, msf, self.early_stop, "auto", dense_final)
+                correction = jnp.mod(hard_f.T.astype(jnp.float32) + bp_corr, 2.0)
+                ship = ~conv_f
+
         corrected = jnp.mod(readout + correction, 2.0)
         flips = jnp.mod(corrected @ self._Lz.T, 2.0)  # (S, k)
         failed = jnp.any(flips > 0.5, axis=1)
-        unconv = jnp.sum((~conv).astype(jnp.int32))
+        unconv = jnp.sum(ship.astype(jnp.int32))
         if self.osd_fallback_cap <= 0:
             return (jnp.sum(failed.astype(jnp.int32)), jnp.int32(S), unconv)
-        # count plain-BP failures among CONVERGED shots only; compact the
-        # unconverged shots to the front and ship them for host-side OSD
+        # count device-BP failures among the shots we keep; compact the
+        # shipped shots to the front and send their raw history+readout to
+        # the host, where the matching BP+OSD driver redecodes them
         cap = self.osd_fallback_cap
-        f_conv = jnp.sum((failed & conv).astype(jnp.int32))
-        order = jnp.argsort(conv.astype(jnp.int32), stable=True)[:cap]
+        f_conv = jnp.sum((failed & ~ship).astype(jnp.int32))
+        order = jnp.argsort((~ship).astype(jnp.int32), stable=True)[:cap]
         return (
             f_conv,
             jnp.int32(S),
             unconv,
-            synd[order],
+            history[order],
             readout[order],
-            ~conv[order],
+            ship[order],
         )
 
     def _build(self):
-        dense = self._dense_ops
+        dense = self._dense_tree()
         fallback = self.osd_fallback_cap > 0
         if self.mesh is None:
             step = jax.jit(self._device_step)
@@ -242,9 +359,9 @@ class StorageDecodePipeline:
                     int(x) for x in step(key, dense, self._noise_args, self._prior))
 
             def run_local(key):
-                f, s, u, synd, readout, valid = step(
+                f, s, u, hist, readout, valid = step(
                     key, dense, self._noise_args, self._prior)
-                return int(f), int(s), int(u), synd, readout, valid
+                return int(f), int(s), int(u), hist, readout, valid
 
             return run_local
 
@@ -268,7 +385,7 @@ class StorageDecodePipeline:
             in_specs=(P(DATA_AXIS), P(), P(), P()),
             out_specs=out_specs,
             check_vma=False,
-        )
+        )  # dense/prior pytrees ride the unsharded P() specs
         jitted = jax.jit(mapped)
         n_data = mesh.shape[DATA_AXIS]
 
@@ -289,13 +406,14 @@ class StorageDecodePipeline:
         return self._step(key)
 
     def run_bposd(self, key):
-        """BP on device + OSD on the BP failures (host): key ->
+        """Device BP + host BP+OSD redecode of the BP failures: key ->
         (logical_failures, total_shots, osd_decoded_shots).  Matches the
-        reference ``bposd`` mode statistically: every shot's correction is
-        BP if BP converged, else BP+OSD on the full spacetime matrix."""
+        reference decode contract of the selected ``mode`` statistically:
+        every shot's correction is device BP where BP converged, else the
+        matching host BP+OSD driver on the shot's raw history+readout."""
         if self._osd is None:
             raise ValueError("construct the pipeline with osd_fallback_cap > 0")
-        f_conv, shots, unconv, synd, readout, valid = self._step(key)
+        f_conv, shots, unconv, hist, readout, valid = self._step(key)
         n_shards = 1 if self.mesh is None else self.mesh.shape[DATA_AXIS]
         if unconv > self.osd_fallback_cap * n_shards:
             raise RuntimeError(
@@ -304,11 +422,10 @@ class StorageDecodePipeline:
         valid = np.asarray(valid)
         if not valid.any():
             return f_conv, shots, 0
-        synd = np.asarray(synd)[valid].astype(np.int64)
+        hist = np.asarray(hist)[valid].astype(np.int64)
         readout = np.asarray(readout)[valid].astype(np.int64)
-        corr = self._osd._bpd.decode_batch(synd)
-        final = self._osd._spacetime_code.final_correction(np.asarray(corr))
-        corrected = (readout + final) % 2
+        corr = self._osd.readout_correction_batch(hist, readout)
+        corrected = (readout + np.asarray(corr, dtype=np.int64)) % 2
         flips = (corrected @ np.asarray(self._Lz, dtype=np.int64).T) % 2
         f_osd = int(np.any(flips != 0, axis=1).sum())
         return f_conv + f_osd, shots, int(valid.sum())
@@ -331,7 +448,7 @@ class StorageDecodePipeline:
         prior[self.spacetime._datablock_size:] = meas_prior
         self.data_prior, self.meas_prior = data_prior, meas_prior
         self.prior_llr = priors_to_llr(prior)
-        self._prior = jnp.asarray(self.prior_llr)
+        self._prior = self._prior_tree()
         self.noise_model = noise_model
         self.storage_sim = sim
         if self._osd is not None:
@@ -351,5 +468,5 @@ class StorageDecodePipeline:
         S = shots if shots is not None else self.shots_per_device
         fs = FrameSampler(self.storage_sim.circuit, seed=seed)
         record = jnp.asarray(fs.sample(S), dtype=jnp.float32)
-        f, s, u = jax.jit(self._decode_records)(record, self._dense_ops, self._prior)
-        return int(f), int(s), int(u)
+        out = jax.jit(self._decode_records)(record, self._dense_tree(), self._prior)
+        return int(out[0]), int(out[1]), int(out[2])

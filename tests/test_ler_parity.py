@@ -216,3 +216,74 @@ def test_x_basis_pipeline_matches_host_driver():
     assert f_dev > 0 and f_host > 0
     gap = _binomial_sigma_gap(f_dev, n_dev, f_host, shots, k=3)
     assert gap < 0, (f_dev, f_host, gap)
+
+
+@pytest.mark.parametrize("mode", ["bposd_single_shot", "bposd_hybrid"])
+def test_fused_pipeline_modes_match_host_drivers(small_code, mode):
+    """The on-device fused single-shot/hybrid pipelines (VERDICT r2 item 6)
+    must statistically match the host driver chain of the same mode."""
+    import jax
+
+    from exp_ldpc_tpu.decoders.drivers import run_simulation
+
+    p = 0.02
+    rounds = 3
+    shots = 1024
+    pipe = StorageDecodePipeline(
+        code=small_code, rounds=rounds, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=shots, max_iter=24, bp_method="ms",
+        ms_scaling_factor=0.625, osd_fallback_cap=shots,
+        osd_options=dict(osd_method="osd0", osd_order=0),
+        mode=mode)
+    f_dev, n_dev, n_osd = pipe.run_bposd(jax.random.PRNGKey(3))
+    f_host = sum(run_simulation(
+        shots,
+        code=small_code,
+        meas_prior=lambda xs, zs: 2 / 3 * p,
+        data_prior=lambda xs, zs: 2 / 3 * p,
+        noise_model=depolarizing_noise,
+        noise_model_args={"p": p, "pm": p},
+        bp_osd_options=dict(max_iter=24, bp_method="ms", ms_scaling_factor=0.625,
+                            osd_method="osd0", osd_order=0),
+        rounds=rounds,
+        decoder_mode=mode,
+        seed=6,
+        use_device_sampler=False,
+    ))
+    assert f_dev > 0 and f_host > 0
+    gap = _binomial_sigma_gap(f_dev, n_dev, f_host, shots, k=3)
+    assert gap < 0, (mode, f_dev, f_host, n_osd, gap)
+
+
+@pytest.mark.parametrize("mode", ["bposd_single_shot", "bposd_hybrid"])
+def test_fused_pipeline_modes_on_mesh(small_code, mode):
+    """The fused single-shot/hybrid programs must also compile and agree
+    when sharded over a multi-device mesh."""
+    import jax
+
+    p = 0.02
+    rounds = 2
+    shots = 256
+    mesh = make_mesh(4)
+    pipe = StorageDecodePipeline(
+        code=small_code, rounds=rounds, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=shots, max_iter=16, bp_method="ms",
+        ms_scaling_factor=0.625, osd_fallback_cap=shots,
+        osd_options=dict(osd_method="osd0", osd_order=0),
+        mesh=mesh, mode=mode)
+    f, n, n_osd = pipe.run_bposd(jax.random.PRNGKey(1))
+    assert n == 4 * shots
+    # unsharded run at the same total shots must agree within 3 sigma
+    pipe1 = StorageDecodePipeline(
+        code=small_code, rounds=rounds, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=4 * shots, max_iter=16, bp_method="ms",
+        ms_scaling_factor=0.625, osd_fallback_cap=4 * shots,
+        osd_options=dict(osd_method="osd0", osd_order=0),
+        mode=mode)
+    f1, n1, _ = pipe1.run_bposd(jax.random.PRNGKey(2))
+    assert f > 0 and f1 > 0
+    gap = _binomial_sigma_gap(f, n, f1, n1, k=3)
+    assert gap < 0, (mode, f, f1, gap)

@@ -94,3 +94,16 @@ def test_pipeline_cli_flags():
     args = parser.parse_args(
         ["--pipeline", "--mesh_devices", "8", "--shots_per_device", "128"])
     assert args.pipeline and args.mesh_devices == 8
+
+
+@pytest.mark.parametrize("mode", ["bposd_single_shot", "bposd_hybrid"])
+def test_pipeline_sweep_accepts_fused_modes(code, mode):
+    """--pipeline now covers the single-shot and hybrid contracts too
+    (one fused device program per sweep point)."""
+    ps = np.array([0.02])
+    df = p_sweep(p_values=ps,
+                 pipeline={"mesh_devices": 1, "shots_per_device": 64},
+                 **common_kwargs(code, decoder_mode=mode, rounds=2))
+    assert len(df) == 1
+    assert int(df["samples"].iloc[0]) >= 64
+    assert 0 <= int(df["failures"].iloc[0]) <= int(df["samples"].iloc[0])
