@@ -95,6 +95,13 @@ class BSRSchedule:
     # chunk (TannerELL packs each check's edges into a slot prefix), so the
     # min-sum check update and the routing passes can skip them exactly.
     live_slots: Tuple[int, ...] = ()
+    # flat tile metadata for the dynamic-loop kernel (int32 arrays, read
+    # from SMEM): the same tiles as sched_m/sched_g, as contiguous segments
+    # so the kernel can loop over them with runtime bounds instead of
+    # unrolling per tile (keeps Mosaic compile time independent of the tile
+    # count).  m_*: grouped by variable tile (m_start has n_vt+1 bounds);
+    # g_*: grouped by edge tile; live_et lists edge tiles with >= 1 tile.
+    dyn: Optional[dict] = None
 
     @property
     def num_tiles(self) -> int:
@@ -111,6 +118,11 @@ class BSRSchedule:
 
 @lru_cache(maxsize=16)
 def _build_schedule(tanner: TannerELL) -> BSRSchedule:
+    # large-tile-count kernels pay ~1 min Mosaic compiles; make them a
+    # once-per-machine cost instead of once-per-process
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     C, V, Dc = tanner.num_checks, tanner.num_vars, tanner.max_check_degree
     C_pad = _round_up(C, _TILE)
     V_pad = _round_up(V, _TILE)
@@ -160,25 +172,46 @@ def _build_schedule(tanner: TannerELL) -> BSRSchedule:
         int(deg_pad[i * _TILE:(i + 1) * _TILE].max()) for i in range(n_cc)
     )
 
+    # flat segment metadata mirroring sched_m/sched_g (tile ids t are sorted
+    # by (vt, et), so the m-grouping is the identity order and both segment
+    # orders match the unrolled pair order exactly -> bit-identical
+    # accumulation)
+    m_start = np.searchsorted(tile_vt, np.arange(n_vt + 1)).astype(np.int32)
+    order_g = np.lexsort((tile_vt, tile_et))
+    g_start = np.searchsorted(
+        tile_et[order_g], np.arange(n_et + 1)).astype(np.int32)
+    dyn = {
+        "m_start": m_start,
+        "m_et": tile_et.astype(np.int32),
+        "m_t": np.arange(T, dtype=np.int32),
+        "g_start": g_start,
+        "g_vt": tile_vt[order_g].astype(np.int32),
+        "g_t": order_g.astype(np.int32),
+        "live_et": np.nonzero(np.diff(g_start))[0].astype(np.int32),
+        "live_slots": np.asarray(live_slots, dtype=np.int32),
+    }
+
     return BSRSchedule(
         num_checks=C, num_vars=V, c_pad=C_pad, v_pad=V_pad, dc=Dc,
         idx=idx, mask_t=mask_t, sched_m=sched_m, sched_g=sched_g,
-        live_slots=live_slots,
+        live_slots=live_slots, dyn=dyn,
     )
 
 
 def fits_bsr(tanner: TannerELL, shot_block: int = 128,
-             vmem_budget_bytes: int = 14 * 2**20) -> bool:
-    """VMEM feasibility: bf16 messages + f32 posterior/parity + tables."""
-    C_pad = _round_up(tanner.num_checks, _TILE)
-    V_pad = _round_up(tanner.num_vars, _TILE)
-    E_pad = tanner.max_check_degree * C_pad
-    msg = 2 * E_pad * shot_block
-    state = 4 * shot_block * (V_pad + 2 * C_pad)  # posterior, parity, synd
-    # index tables are O(E) int32; live temporaries ~6 (128, S) chunks
-    tables = 4 * (E_pad + 2 * E_pad // _TILE * _TILE)
+             vmem_budget_bytes: int = 64 * 2**20) -> bool:
+    """VMEM feasibility: bf16 messages + f32 posterior/parity + materialized
+    one-hot tiles + tables.  v5e/v6e have 128 MiB VMEM per core and the
+    kernel runs with a 100 MiB scoped limit; the 64 MiB default leaves
+    headroom for the compiler's double-buffered operand streaming."""
+    sched = BSRSchedule.from_tanner(tanner)
+    msg = 2 * sched.e_pad * shot_block
+    state = 4 * shot_block * (sched.v_pad + 2 * sched.c_pad)  # post/par/synd
+    onehots = sched.num_tiles * _TILE * _TILE * 2
+    # index tables are O(E) int32; live temporaries ~8 (128, S) chunks
+    tables = 4 * (sched.e_pad + 2 * sched.e_pad // _TILE * _TILE)
     temps = 4 * 8 * _TILE * shot_block
-    return msg + state + tables + temps < vmem_budget_bytes
+    return msg + state + onehots + tables + temps < vmem_budget_bytes
 
 
 def _phi(x):
@@ -412,6 +445,254 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
 
 
+def _kernel_dyn(synd_ref, prior_r_ref, mask_r_ref, idx_ref,
+                m_start_ref, m_et_ref, m_t_ref,
+                g_start_ref, g_vt_ref, g_t_ref,
+                live_et_ref, live_slots_ref,
+                post_ref, conv_ref, iters_ref,
+                msg_ref, par_ref, done_ref, oh_ref,
+                *, sched: BSRSchedule, method: str, max_iter: int,
+                alpha0: float, adaptive: bool, early_stop: bool):
+    """Dynamic-loop variant of :func:`_kernel`: identical math and
+    accumulation order, but the per-tile / per-plane loops are rolled
+    ``fori_loop``s over SMEM segment tables instead of Python-unrolled
+    straight-line code.  Mosaic compile time is therefore O(1) in the tile
+    count (the unrolled kernel pays ~53 s at 548 tiles, this one ~2 s),
+    at a modest per-tile loop overhead.  Bit-exact against :func:`_kernel`
+    in fixed-iteration mode (``tests/test_bp_bsr.py``).
+
+    One-hot routing tiles are always materialized in VMEM scratch here (a
+    dynamic tile id cannot index unrolled rebuild code).  The prior and the
+    padding-row mask arrive in ROW-major (v_pad, 1)/(e_pad, 1) layouts:
+    Mosaic only allows dynamic offsets on the sublane dimension, so the
+    column-table layouts the unrolled kernel indexes statically are
+    unreachable from a loop.
+    """
+    C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
+    n_cc = C_pad // _TILE
+    n_et = sched.e_pad // _TILE
+    n_vt = V_pad // _TILE
+    S = synd_ref.shape[1]
+    f32 = jnp.float32
+    ms = method == "ms"
+    # min-sum skips dead planes/tiles exactly (see _kernel); sum-product
+    # keeps the full loops for bit-exactness with the generic core
+    n_loop_et = int(sched.dyn["live_et"].shape[0]) if ms else n_et
+
+    def rows128(start):
+        return pl.ds(pl.multiple_of(start, _TILE), _TILE)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _build_onehots():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+
+        def bo(t, _):
+            oh_ref[rows128(t * _TILE), :] = (
+                rows == idx_ref[pl.ds(t, 1), :]).astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, sched.num_tiles, bo, 0)
+
+    def oh(t):
+        return oh_ref[rows128(t * _TILE), :]
+
+    def loop_et(k):
+        return live_et_ref[k] if ms else k
+
+    def bcast_et(et, with_prior: bool):
+        """mask column + sum of routed tiles for edge tile ``et`` — the
+        shared shape of the init pass (routes the prior column) and the
+        broadcast pass (routes the posterior block)."""
+        col = mask_r_ref[rows128(et * _TILE), :]
+        if with_prior:
+            def inner(j, col):
+                pcol = prior_r_ref[rows128(g_vt_ref[j] * _TILE), :].astype(
+                    jnp.bfloat16)
+                return col + jax.lax.dot_general(
+                    oh(g_t_ref[j]), pcol, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+        else:
+            col = jnp.broadcast_to(col, (_TILE, S))
+
+            def inner(j, acc):
+                pb = post_ref[rows128(g_vt_ref[j] * _TILE), :].astype(
+                    jnp.bfloat16)
+                return acc + jax.lax.dot_general(
+                    oh(g_t_ref[j]), pb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+        return jax.lax.fori_loop(
+            g_start_ref[et], g_start_ref[et + 1], inner, col)
+
+    # ---- init: v2c = prior at each edge's variable (+BIG on padding rows)
+    def initf(et, _):
+        msg_ref[rows128(et * _TILE), :] = jnp.broadcast_to(
+            bcast_et(et, True), (_TILE, S)).astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, n_et, initf, 0)
+
+    done_ref[0] = 0
+    done_ref[1] = max_iter
+
+    def accum_parity(et, acc):
+        coff = rows128((et % n_cc) * _TILE)
+        par_ref[coff, :] = (par_ref[coff, :]
+                            + (acc <= 0.0).astype(jnp.bfloat16))
+
+    def body(it, _):
+        def active():
+            if adaptive:
+                alpha = 1.0 - 2.0 ** (-(it + 1).astype(f32))
+            else:
+                alpha = alpha0
+
+            # ---- check update, in place, over 128-check chunks
+            def cc_body(cc, _):
+                crow = rows128(cc * _TILE)
+                synd_sign = 1.0 - 2.0 * synd_ref[crow, :].astype(f32)
+
+                def prow(s):
+                    return rows128(s * C_pad + cc * _TILE)
+
+                if method == "ps":
+                    def p1(s, carry):
+                        tsign, tot = carry
+                        p = msg_ref[prow(s), :].astype(f32)
+                        return (tsign * jnp.where(p < 0, -1.0, 1.0),
+                                tot + _phi(jnp.abs(p)))
+
+                    tsign, tot = jax.lax.fori_loop(
+                        0, Dc, p1, (synd_sign, jnp.zeros_like(synd_sign)))
+
+                    def p2(s, _):
+                        p = msg_ref[prow(s), :].astype(f32)
+                        out = (tsign * jnp.where(p < 0, -1.0, 1.0)
+                               * _phi(tot - _phi(jnp.abs(p))))
+                        msg_ref[prow(s), :] = out.astype(jnp.bfloat16)
+                        return 0
+
+                    jax.lax.fori_loop(0, Dc, p2, 0)
+                else:
+                    n_s = live_slots_ref[cc]
+
+                    @pl.when(n_s > 0)
+                    def _chunk():
+                        p = msg_ref[prow(0), :].astype(f32)
+                        init = (synd_sign * jnp.where(p < 0, -1.0, 1.0),
+                                jnp.abs(p),
+                                jnp.full((_TILE, S), _BIG, f32),
+                                jnp.zeros((_TILE, S), f32))
+
+                        def p1(s, carry):
+                            tsign, min1, min2, arg = carry
+                            p = msg_ref[prow(s), :].astype(f32)
+                            tsign = tsign * jnp.where(p < 0, -1.0, 1.0)
+                            m = jnp.abs(p)
+                            lt = m < min1
+                            min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+                            arg = jnp.where(lt, s.astype(f32), arg)
+                            min1 = jnp.where(lt, m, min1)
+                            return tsign, min1, min2, arg
+
+                        tsign, min1, min2, arg = jax.lax.fori_loop(
+                            1, n_s, p1, init)
+
+                        def p2(s, _):
+                            p = msg_ref[prow(s), :].astype(f32)
+                            out = (tsign * jnp.where(p < 0, -1.0, 1.0)
+                                   * jnp.where(arg == s.astype(f32),
+                                               min2, min1) * alpha)
+                            msg_ref[prow(s), :] = out.astype(jnp.bfloat16)
+                            return 0
+
+                        jax.lax.fori_loop(0, n_s, p2, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_cc, cc_body, 0)
+
+            # ---- variable totals: segment loop over routed tiles
+            def vt_body(vt, _):
+                tot = jnp.broadcast_to(
+                    prior_r_ref[rows128(vt * _TILE), :], (_TILE, S))
+
+                def inner(k, tot):
+                    return tot + jnp.dot(
+                        oh(m_t_ref[k]), msg_ref[rows128(m_et_ref[k] * _TILE), :],
+                        preferred_element_type=f32)
+
+                tot = jax.lax.fori_loop(
+                    m_start_ref[vt], m_start_ref[vt + 1], inner, tot)
+                post_ref[rows128(vt * _TILE), :] = tot
+                return 0
+
+            jax.lax.fori_loop(0, n_vt, vt_body, 0)
+
+            # ---- edge broadcast (transposed tiles) + in-flight parity
+            if early_stop:
+                par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
+
+            def et_body(k, _):
+                et = loop_et(k)
+                acc = bcast_et(et, False)
+                if early_stop:
+                    accum_parity(et, acc)
+                erow = rows128(et * _TILE)
+                msg_ref[erow, :] = (
+                    acc - msg_ref[erow, :].astype(f32)).astype(jnp.bfloat16)
+                return 0
+
+            jax.lax.fori_loop(0, n_loop_et, et_body, 0)
+
+            if early_stop:
+                def bb(cc, bad):
+                    crow = rows128(cc * _TILE)
+                    p = par_ref[crow, :].astype(f32)
+                    par2 = p - 2.0 * jnp.floor(p * 0.5)
+                    return bad + jnp.sum(
+                        jnp.abs(par2 - synd_ref[crow, :].astype(f32)),
+                        axis=0, keepdims=True)
+
+                bad = jax.lax.fori_loop(0, n_cc, bb, jnp.zeros((1, S), f32))
+
+                @pl.when(jnp.max(bad) < 0.5)
+                def _():
+                    done_ref[0] = 1
+                    done_ref[1] = it + 1
+
+        if early_stop:
+            pl.when(done_ref[0] == 0)(active)
+        else:
+            active()
+        return 0
+
+    jax.lax.fori_loop(0, max_iter, body, 0)
+
+    if not early_stop:
+        # fixed-iteration mode skipped the per-iteration parity; one routed
+        # pass over the final posterior produces it
+        par_ref[:] = jnp.zeros((C_pad, S), par_ref.dtype)
+
+        def fp(k, _):
+            et = loop_et(k)
+            accum_parity(et, bcast_et(et, False))
+            return 0
+
+        jax.lax.fori_loop(0, n_loop_et, fp, 0)
+
+    # ---- final convergence flags from the parity accumulator
+    def fb(cc, bad):
+        crow = rows128(cc * _TILE)
+        p = par_ref[crow, :].astype(f32)
+        par2 = p - 2.0 * jnp.floor(p * 0.5)
+        return bad + jnp.sum(
+            jnp.abs(par2 - synd_ref[crow, :].astype(f32)),
+            axis=0, keepdims=True)
+
+    bad = jax.lax.fori_loop(0, n_cc, fb, jnp.zeros((1, S), f32))
+    conv_ref[:] = jnp.broadcast_to((bad < 0.5).astype(f32), conv_ref.shape)
+    iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
+
+
 _SAT = 127           # int8 message saturation magnitude
 _ALPHA_SHIFT = 8     # min-sum scaling as alpha_num / 2^8, exact in ints
 _DEAD = 2 * _SAT     # dead-edge-row routed value: stays +_SAT after exclusion
@@ -602,6 +883,28 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, 1.0, f32) * done_ref[1].astype(f32)
 
 
+# tile count at which the dynamic-loop kernel takes over from the unrolled
+# one under loop_mode="auto".  Mosaic does not software-pipeline dots whose
+# operands are loop-dependent dynamic slices, so the dynamic kernel runs
+# ~7x slower than unrolled straight-line code (0.41M vs 2.97M iter*shots/s
+# on the 548-tile cyclic LP) while compiling in ~2 s vs ~53 s.  With the
+# persistent compilation cache (utils/compile_cache.py) the unrolled
+# compile is a once-per-machine cost, so auto keeps the fast kernel up to
+# very large schedules and uses dynamic only where an uncached first
+# compile would take many minutes.
+_DYN_MIN_TILES = 3000
+
+
+def _resolve_loop_mode(sched: BSRSchedule, loop_mode: str, ablate: str) -> str:
+    if ablate:
+        return "unrolled"  # the ablation hooks live in the unrolled kernel
+    if loop_mode == "auto":
+        return "dynamic" if sched.num_tiles >= _DYN_MIN_TILES else "unrolled"
+    if loop_mode not in ("unrolled", "dynamic"):
+        raise ValueError(f"unknown loop_mode {loop_mode!r}")
+    return loop_mode
+
+
 def _resolve_onehot_vmem(sched: BSRSchedule, shot_block: int, msg_bytes: int,
                          onehot_vmem) -> bool:
     """Auto: materialize one-hot tiles in VMEM when total residency fits the
@@ -690,11 +993,12 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
 @partial(jax.jit, static_argnames=("sched", "method", "max_iter",
                                    "ms_scaling_factor", "early_stop",
                                    "shot_block", "interpret", "ablate",
-                                   "onehot_vmem"))
+                                   "onehot_vmem", "loop_mode"))
 def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
                   max_iter: int, ms_scaling_factor, early_stop: bool = True,
                   shot_block: int = 128, interpret: bool = False,
-                  ablate: str = "", onehot_vmem: Optional[bool] = None):
+                  ablate: str = "", onehot_vmem: Optional[bool] = None,
+                  loop_mode: str = "auto"):
     """syndromes (C, S) uint8 -> (hard (V,S) uint8, posterior (V,S) f32,
     converged (S,) bool, iters (S,) int32) — the ``_bp_core`` contract
     (global early exit, see module docstring)."""
@@ -712,37 +1016,65 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
         jnp.pad(jnp.asarray(prior_llr, jnp.float32), (0, V_pad - V))
         .reshape(V_pad // _TILE, _TILE).T)
 
-    use_oh = _resolve_onehot_vmem(
-        sched, shot_block, 2 * sched.e_pad * shot_block, onehot_vmem)
-    kernel = partial(_kernel, sched=sched, method=method, max_iter=max_iter,
-                     alpha0=float(ms_scaling_factor),
-                     adaptive=float(ms_scaling_factor) == 0.0,
-                     early_stop=early_stop, ablate=ablate)
-
+    mode = _resolve_loop_mode(sched, loop_mode, ablate)
     grid = (S_pad // shot_block,)
     blk = lambda r: pl.BlockSpec(  # noqa: E731
         (r, shot_block), lambda s: (0, s), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
 
     scratch = [
         pltpu.VMEM((sched.e_pad, shot_block), jnp.bfloat16),  # messages
         pltpu.VMEM((C_pad, shot_block), jnp.bfloat16),        # parity
         pltpu.SMEM((2,), jnp.int32),                          # done, iter
     ]
-    if use_oh:
+    base_specs = [
+        blk(C_pad),                      # syndromes
+        full(prior_t.shape),             # priors, (128, n_vt)
+        full(sched.mask_t.shape),        # padding-row mask, (128, n_et)
+        full(sched.idx.shape),           # tile index table
+    ]
+    base_args = (synd, prior_t, jnp.asarray(sched.mask_t),
+                 jnp.asarray(sched.idx))
+
+    if mode == "dynamic":
+        kernel = partial(_kernel_dyn, sched=sched, method=method,
+                         max_iter=max_iter, alpha0=float(ms_scaling_factor),
+                         adaptive=float(ms_scaling_factor) == 0.0,
+                         early_stop=early_stop)
+        # row-major prior/mask: dynamic offsets must land on sublanes
+        prior_r = jnp.pad(jnp.asarray(prior_llr, jnp.float32),
+                          (0, V_pad - V)).reshape(-1, 1)
+        mask_r = jnp.asarray(sched.mask_t.T.reshape(-1, 1))
+        base_specs[1] = full(prior_r.shape)
+        base_specs[2] = full(mask_r.shape)
+        base_args = (synd, prior_r, mask_r, base_args[3])
+        dyn = sched.dyn
+        dyn_names = ("m_start", "m_et", "m_t", "g_start", "g_vt", "g_t",
+                     "live_et", "live_slots")
+        in_specs = base_specs + [smem(dyn[k].shape) for k in dyn_names]
+        args = base_args + tuple(jnp.asarray(dyn[k]) for k in dyn_names)
         scratch.append(
             pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
+    else:
+        use_oh = _resolve_onehot_vmem(
+            sched, shot_block, 2 * sched.e_pad * shot_block, onehot_vmem)
+        kernel = partial(_kernel, sched=sched, method=method,
+                         max_iter=max_iter, alpha0=float(ms_scaling_factor),
+                         adaptive=float(ms_scaling_factor) == 0.0,
+                         early_stop=early_stop, ablate=ablate)
+        in_specs = base_specs
+        args = base_args
+        if use_oh:
+            scratch.append(
+                pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
 
     post, conv, iters = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            blk(C_pad),                      # syndromes
-            full(prior_t.shape),             # priors, (128, n_vt)
-            full(sched.mask_t.shape),        # padding-row mask, (128, n_et)
-            full(sched.idx.shape),           # tile index table
-        ],
+        in_specs=in_specs,
         out_specs=[blk(V_pad), blk(8), blk(8)],
         out_shape=[
             jax.ShapeDtypeStruct((V_pad, S_pad), jnp.float32),
@@ -755,7 +1087,7 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20) if not interpret else None,
         interpret=interpret,
-    )(synd, prior_t, jnp.asarray(sched.mask_t), jnp.asarray(sched.idx))
+    )(*args)
 
     posterior = post[:V, :S]
     hard = (posterior <= 0).astype(jnp.uint8)
@@ -792,6 +1124,9 @@ class BSRBPDecoder:
     # one-hot routing tiles in VMEM scratch (None = auto by VMEM budget);
     # pure scheduling choice, bit-exact either way
     onehot_vmem: Optional[bool] = None
+    # "auto" (default: dynamic above _DYN_MIN_TILES), "unrolled", "dynamic";
+    # pure compile-time/scheduling choice, bit-exact either way
+    loop_mode: str = "auto"
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
@@ -831,6 +1166,7 @@ class BSRBPDecoder:
         msg_dtype: str = "bfloat16",
         prior_quanta: int = 24,
         onehot_vmem: Optional[bool] = None,
+        loop_mode: str = "auto",
         **_ignored,
     ) -> "BSRBPDecoder":
         H = sparse.csr_matrix(H)
@@ -869,6 +1205,7 @@ class BSRBPDecoder:
             msg_dtype=msg_dtype,
             prior_quanta=prior_quanta,
             onehot_vmem=onehot_vmem,
+            loop_mode=loop_mode,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
@@ -902,6 +1239,7 @@ class BSRBPDecoder:
                 self.interpret,
                 "",
                 self.onehot_vmem,
+                self.loop_mode,
             )
         hard, post = hard.T, post.T
         if self.inv_var_perm is not None:

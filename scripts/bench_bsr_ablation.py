@@ -25,21 +25,24 @@ def main():
     shots, iters, p = 1024, 32, 1e-3
     code = lifted_product_code_cyclic(q=22, m=1, w=14, r=5, seed=42,
                                       compute_logicals=False)
-    H = code.checks.z
+    from scipy import sparse as _sp
+    H = _sp.csr_matrix(code.checks.z)
     meta = code.qc_meta
     if meta.z_check_perm is not None:
-        H = H[meta.z_check_perm]
-    H = H[:, meta.qubit_perm]
+        H = H[np.asarray(meta.z_check_perm)]
+    H = H[:, np.asarray(meta.qubit_perm)]
     tanner = TannerELL.from_check_matrix(H)
     sched = BSRSchedule.from_tanner(tanner)
     prior = jnp.asarray(priors_to_llr(np.full(tanner.num_vars, p)))
-    Hd = H.T.toarray()
     rng = np.random.default_rng(0)
 
     def synds(R):
-        errors = (rng.random((R, shots, tanner.num_vars)) < p).astype(np.uint8)
-        st = (errors @ Hd) % 2
-        return jnp.asarray(st.astype(np.uint8).transpose(0, 2, 1))
+        # sparse product: the dense (R*shots, n) @ (n, r) uint8 matmul costs
+        # minutes of host time at these sizes
+        errors = (rng.random((R * shots, tanner.num_vars)) < p).astype(np.uint8)
+        st = (H @ errors.T % 2).astype(np.uint8)
+        return jnp.asarray(
+            st.reshape(tanner.num_checks, R, shots).transpose(1, 0, 2))
 
     def build(ablate):
         @jax.jit

@@ -22,7 +22,8 @@ import numpy as np
 
 
 def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
-               qc_perms=None, bsr=False, bsr_int8=False, shot_block=128):
+               qc_perms=None, bsr=False, bsr_int8=False, shot_block=128,
+               loop_mode="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +48,9 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
     if bsr or bsr_int8:
         struct = None
         sched = BSRSchedule.from_tanner(tanner)
+        suffix = ",dyn" if (not bsr_int8 and loop_mode == "dynamic") else ""
         formulation = (f"bsr-int8[{sched.num_tiles} tiles]" if bsr_int8
-                       else f"bsr[{sched.num_tiles} tiles]")
+                       else f"bsr[{sched.num_tiles} tiles{suffix}]")
         if bsr_int8:
             prior_q, _delta = quantize_priors(
                 priors_to_llr(np.full(tanner.num_vars, p)))
@@ -63,14 +65,18 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
     prior = jnp.asarray(priors_to_llr(np.full(tanner.num_vars, p)))
     dense_ops = (dense_ops_device(tanner)
                  if (use_matmul and struct is None and sched is None) else None)
-    Hd = H.T.toarray()
+    from scipy import sparse as _sp
+    Hs = _sp.csr_matrix(H)
 
     rng = np.random.default_rng(0)
 
     def synds(R):
-        errors = (rng.random((R, shots, tanner.num_vars)) < p).astype(np.uint8)
-        st = (errors @ Hd) % 2
-        return jnp.asarray(st.astype(np.uint8).transpose(0, 2, 1))
+        # sparse product: a dense (R*shots, n) @ (n, r) uint8 matmul costs
+        # minutes of host time at n ~ 5k-10k
+        errors = (rng.random((R * shots, tanner.num_vars)) < p).astype(np.uint8)
+        st = (Hs @ errors.T % 2).astype(np.uint8)
+        return jnp.asarray(
+            st.reshape(tanner.num_checks, R, shots).transpose(1, 0, 2))
 
     @jax.jit
     def run_many(ss):
@@ -81,7 +87,8 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
                 )
             elif sched is not None:
                 hard, _post, conv, _it = bsr_bp_decode(
-                    sched, prior, synd, "ms", iters, 0.625, False, shot_block
+                    sched, prior, synd, "ms", iters, 0.625, False, shot_block,
+                    False, "", None, loop_mode
                 )
             elif struct is not None:
                 hard, _post, conv, _it = _qc_bp_core(
@@ -144,9 +151,12 @@ def main():
                          "(e.g. 'bsr', 'cyclic', 'qclp/int8')")
     ap.add_argument("--shot_block", type=int, default=128,
                     help="BSR kernel shot block (grid tile width)")
+    ap.add_argument("--loop_mode", default="auto",
+                    help="BSR kernel loop mode: auto|unrolled|dynamic")
     args = ap.parse_args()
 
     from exp_ldpc_tpu.codes.bivariate_bicycle import gross_code
+    from exp_ldpc_tpu.codes.hgp import biregular_hgp
     from exp_ldpc_tpu.codes.lifted import lifted_product_code_cyclic
     from exp_ldpc_tpu.codes.qc_lifted import qc_lifted_product_code
 
@@ -158,6 +168,7 @@ def main():
     )
     cyclic_H = cyclic.checks.z
     cyc_meta = cyclic.qc_meta
+    hgp10k_H = biregular_hgp(80, 3, 4, seed=7, compute_logicals=False).checks.z
     cyc_perms = (cyc_meta.z_check_perm, cyc_meta.qubit_perm)
 
     # (name, H, qc_dims, qc_perms, bsr, bsr_int8)
@@ -174,6 +185,10 @@ def main():
         # tile locality: 548 vs 692 tiles)
         ("cyclic_lp_4862", cyclic_H, None, cyc_perms, True, False),
         ("cyclic_lp_4862", cyclic_H, None, cyc_perms, False, True),
+        # >=10k-qubit scale: (3,4)-HGP with nv=80 classical bits ->
+        # n = 80^2 + 60^2 = 10000, 4800 Z checks, E = 33600.  The natural
+        # HGP grid ordering is already tile-local; no extra permutation.
+        ("hgp_10000", hgp10k_H, None, None, True, False),
     ]
     from exp_ldpc_tpu.decoders.select import _QC_MAX_MONOMIALS
     cases = [
@@ -191,6 +206,7 @@ def main():
             name, H, shots=args.shots, iters=args.iters, p=args.p,
             reps_lo=4, reps_hi=16, qc_dims=qc_dims, qc_perms=qc_perms, bsr=bsr,
             bsr_int8=bsr_int8, shot_block=args.shot_block,
+            loop_mode=args.loop_mode,
         )
         print(json.dumps(rec))
         out.append(rec)

@@ -31,10 +31,18 @@ def wilson_interval(k, n, z=2.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=20000)
+    ap.add_argument("--batch-shots", type=int, default=0,
+                    help="shots per fused device call (0 = all of --samples "
+                         "in one call); large campaigns loop the one "
+                         "compiled program over ceil(samples/batch) "
+                         "independent PRNG keys")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--p-grid", type=str, default="(1e-3,8e-3,5)")
     ap.add_argument("--max-iter", type=int, default=48)
     ap.add_argument("--crosscheck-samples", type=int, default=2000)
+    ap.add_argument("--crosscheck-points", type=int, default=1,
+                    help="cross-check the top-N grid points against the "
+                         "host oracle sampler")
     ap.add_argument("--skip-crosscheck", action="store_true")
     ap.add_argument("--noise", choices=("pheno", "circuit"), default="pheno",
                     help="pheno = depolarizing data noise + measurement "
@@ -67,6 +75,8 @@ def main():
         priors = lambda p: (p * steps, p)  # noqa: E731
     else:
         priors = lambda p: (2 / 3 * p, 2 / 3 * p)  # noqa: E731
+    batch = args.batch_shots or args.samples
+    n_calls = -(-args.samples // batch)
     results = []
     pipe = None
     for i, p in enumerate(p_grid):
@@ -75,13 +85,16 @@ def main():
             pipe = StorageDecodePipeline(
                 code=code, rounds=args.rounds, noise_model=make_noise(p, p),
                 data_prior=dp, meas_prior=mp,
-                shots_per_device=args.samples, max_iter=args.max_iter,
+                shots_per_device=batch, max_iter=args.max_iter,
                 bp_method="ms", ms_scaling_factor=0.625)
         else:
             # one compile serves the whole grid: only probability values change
             pipe.rebind_noise(make_noise(p, p), dp, mp)
         t0 = time.perf_counter()
-        fails, shots, unconv = pipe.run(jax.random.PRNGKey(100 + i))
+        fails = shots = unconv = 0
+        for j in range(n_calls):
+            f, s, u = pipe.run(jax.random.PRNGKey(100 + 1000 * i + j))
+            fails, shots, unconv = fails + f, shots + s, unconv + u
         dt = time.perf_counter() - t0
         low, high = wilson_interval(fails, shots)
         rec = {
@@ -99,32 +112,36 @@ def main():
                for i in range(len(lers) - 1)):
         print("WARNING: LER not monotone within CI", file=sys.stderr)
 
+    checks = []
     if not args.skip_crosscheck:
         # identical decode program, records from the independent CPU oracle
         # sampler: any statistical gap isolates to the samplers
-        p = float(p_grid[-1])
-        n = args.crosscheck_samples
-        dp, mp = priors(p)
-        pipe.rebind_noise(make_noise(p, p), dp, mp)
-        fails_host, n, _u = pipe.run_host_sampled(seed=999, shots=n)
-        dev = results[-1]
-        # pooled two-proportion z-test at 2 sigma
-        f1, n1 = dev["failures"], dev["samples"]
-        pool = (f1 + fails_host) / (n1 + n)
-        sigma = np.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n))
-        gap = abs(f1 / n1 - fails_host / n)
-        rec = {"crosscheck_p": p, "host_failures": fails_host,
-               "host_samples": n, "gap": gap, "two_sigma": 2 * sigma,
-               "agree": bool(gap <= 2 * sigma)}
-        print(json.dumps(rec, default=float), flush=True)
-        if not rec["agree"]:
-            return 1
+        for k in range(min(args.crosscheck_points, len(p_grid))):
+            idx = len(p_grid) - 1 - k
+            p = float(p_grid[idx])
+            n = args.crosscheck_samples
+            dp, mp = priors(p)
+            pipe.rebind_noise(make_noise(p, p), dp, mp)
+            fails_host, n, _u = pipe.run_host_sampled(seed=999 + k, shots=n)
+            dev = results[idx]
+            # pooled two-proportion z-test at 2 sigma
+            f1, n1 = dev["failures"], dev["samples"]
+            pool = (f1 + fails_host) / (n1 + n)
+            sigma = np.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n))
+            gap = abs(f1 / n1 - fails_host / n)
+            rec = {"noise": args.noise, "crosscheck_p": p,
+                   "host_failures": fails_host, "host_samples": n,
+                   "device_ler": f1 / n1, "host_ler": fails_host / n,
+                   "gap": gap, "two_sigma": 2 * sigma,
+                   "agree": bool(gap <= 2 * sigma)}
+            checks.append(rec)
+            print(json.dumps(rec, default=float), flush=True)
 
     if args.out:
         with open(args.out, "a") as f:
-            for r in results:
+            for r in results + checks:
                 f.write(json.dumps(r, default=float) + "\n")
-    return 0
+    return 0 if all(c["agree"] for c in checks) else 1
 
 
 if __name__ == "__main__":

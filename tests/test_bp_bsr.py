@@ -317,3 +317,61 @@ def test_bsr_int8_degree_one_chunk_bitexact(msf):
 
     np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_x))
     np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_x), atol=1e-4)
+
+
+@pytest.mark.parametrize("method,msf,early", [
+    ("ms", 0.625, False), ("ms", 0.0, False), ("ps", 0.0, False),
+    ("ms", 0.625, True), ("ps", 0.0, True),
+])
+def test_bsr_dynamic_bitexact_vs_unrolled(code300, method, msf, early):
+    """The dynamic-loop kernel replays the unrolled kernel's accumulation
+    order exactly: every output is bit-identical, in fixed-iteration and
+    early-exit mode, for both BP methods."""
+    H = code300
+    sched = BSRSchedule.from_tanner(TannerELL.from_check_matrix(H))
+    prior = jnp.asarray(priors_to_llr(np.full(300, 0.02)))
+    rng = np.random.default_rng(11)
+    errs = (rng.random((48, 300)) < 0.02).astype(np.uint8)
+    synd = jnp.asarray(((errs @ H.T) % 2).astype(np.uint8).T)
+    a = bsr_bp_decode(sched, prior, synd, method, 12, msf, early, 64,
+                      True, "", None, "unrolled")
+    b = bsr_bp_decode(sched, prior, synd, method, 12, msf, early, 64,
+                      True, "", None, "dynamic")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bsr_loop_mode_resolution(code300):
+    """auto mode picks unrolled below the tile threshold, dynamic above;
+    explicit modes and bad names are honored/rejected."""
+    from exp_ldpc_tpu.decoders.bp_bsr import (
+        _DYN_MIN_TILES, _resolve_loop_mode)
+    sched = BSRSchedule.from_tanner(TannerELL.from_check_matrix(code300))
+    expect = "dynamic" if sched.num_tiles >= _DYN_MIN_TILES else "unrolled"
+    assert _resolve_loop_mode(sched, "auto", "") == expect
+    assert _resolve_loop_mode(sched, "dynamic", "") == "dynamic"
+    assert _resolve_loop_mode(sched, "unrolled", "") == "unrolled"
+    # ablation hooks exist only in the unrolled kernel
+    assert _resolve_loop_mode(sched, "auto", "no_check") == "unrolled"
+    with pytest.raises(ValueError):
+        _resolve_loop_mode(sched, "bogus", "")
+
+
+def test_bsr_schedule_dyn_metadata(code300):
+    """The flat dyn segment tables encode exactly the sched_m/sched_g pair
+    lists, in the same order (the bit-exactness precondition)."""
+    sched = BSRSchedule.from_tanner(TannerELL.from_check_matrix(code300))
+    d = sched.dyn
+    for vt, pairs in enumerate(sched.sched_m):
+        lo, hi = d["m_start"][vt], d["m_start"][vt + 1]
+        assert [(int(e), int(t)) for e, t in
+                zip(d["m_et"][lo:hi], d["m_t"][lo:hi])] == list(pairs)
+    live = []
+    for et, pairs in enumerate(sched.sched_g):
+        lo, hi = d["g_start"][et], d["g_start"][et + 1]
+        assert [(int(v), int(t)) for v, t in
+                zip(d["g_vt"][lo:hi], d["g_t"][lo:hi])] == list(pairs)
+        if pairs:
+            live.append(et)
+    assert d["live_et"].tolist() == live
+    assert d["live_slots"].tolist() == list(sched.live_slots)
