@@ -63,6 +63,10 @@ _BIG = 1e30
 _PHI_CLAMP_LO = 1e-7
 _PHI_CLAMP_HI = 30.0
 _TILE = 128
+# scoped-VMEM cap requested from Mosaic.  v5e/v6e have 128 MiB physical
+# VMEM; 116 MiB leaves room for the compiler's own reservations while
+# admitting the n=10000 HGP at shot_block 256 (107.6 MiB scoped)
+_VMEM_LIMIT = 116 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -981,7 +985,7 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20) if not interpret else None,
+            vmem_limit_bytes=_VMEM_LIMIT) if not interpret else None,
         interpret=interpret,
     )(synd, prior_t, prior8_t, jnp.asarray(maski_t), jnp.asarray(sched.idx))
 
@@ -1085,7 +1089,7 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
         # the default 16 MiB scoped-VMEM cap is conservative; the long
         # unrolled tile schedule needs stack room beyond the resident state
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20) if not interpret else None,
+            vmem_limit_bytes=_VMEM_LIMIT) if not interpret else None,
         interpret=interpret,
     )(*args)
 
@@ -1114,10 +1118,11 @@ class BSRBPDecoder:
     inv_var_perm: Optional[np.ndarray] = None  # old -> new
     # "bfloat16" (default, any method) or "int8" (fixed-point min-sum,
     # bit-exact vs decoders.bp_int8).  int8 is ABLATION-ONLY: despite half
-    # the VMEM/bandwidth it measured SLOWER than bf16 on v5e (1.83M vs
-    # 2.97M iter*shots/s on the n=4862 cyclic LP; 18.6M vs 27.5M on QC-LP
-    # [[1054,140]] — artifacts/bp_families_v5e.jsonl), because the VPU-side
-    # integer min/sign plane reduction dominates, not the MXU dots.
+    # the VMEM/bandwidth it measured SLOWER than bf16 on v5e (2.56M vs
+    # 3.31M iter*shots/s on the n=4862 cyclic LP at shot_block 256; 18.6M
+    # vs 27.5M on QC-LP [[1054,140]] — artifacts/bp_families_v5e.jsonl):
+    # the integer VPU min/sign reduction costs more, and the int8 MXU dot
+    # is only 1.3x bf16 at this shape (artifacts/mxu_dtypes_v5e.jsonl).
     # make_bp_decoder never selects it; request it only for ablations.
     msg_dtype: str = "bfloat16"
     prior_quanta: int = 24

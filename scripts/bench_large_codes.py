@@ -136,6 +136,7 @@ def bench_code(name, H, *, shots, iters, p, reps_lo, reps_hi, qc_dims=None,
         "bp_iter_shots_per_s": rate,
         "bp_converged_frac": float(np.asarray(conv)) / (reps_lo * shots),
         "compile_s": compile_s,
+        "shot_block": shot_block if (bsr or bsr_int8) else None,
     }
 
 

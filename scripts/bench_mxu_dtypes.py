@@ -17,8 +17,8 @@ import time
 
 import numpy as np
 
-CHAIN_LO = 8192
-CHAIN_HI = 32768
+CHAIN_LO = 16384
+CHAIN_HI = 131072
 S = 128
 
 
@@ -71,7 +71,7 @@ def main():
         f_lo = jax.jit(make(CHAIN_LO, dtype, acc_dtype))
         f_hi = jax.jit(make(CHAIN_HI, dtype, acc_dtype))
 
-        def best(f, n=3):
+        def best(f, n=5):
             np.asarray(f(*operands()))  # compile + warm
             ts = []
             for _ in range(n):
@@ -88,6 +88,7 @@ def main():
             "dtype": name, "s": S,
             "tflops": flops / per_dot / 1e12,
             "ns_per_dot": per_dot * 1e9,
+            "chain_lo": CHAIN_LO, "chain_hi": CHAIN_HI,
             "t_hi_s": t_hi, "t_lo_s": t_lo,
         }), flush=True)
 
