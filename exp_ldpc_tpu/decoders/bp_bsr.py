@@ -909,6 +909,20 @@ def _resolve_loop_mode(sched: BSRSchedule, loop_mode: str, ablate: str) -> str:
     return loop_mode
 
 
+def _auto_shot_block(sched: BSRSchedule) -> int:
+    """256-shot blocks measured ~8% faster than 128 on large codes (cyclic
+    LP n=4862: 3.31M vs 3.06M iter*shots/s), but Mosaic's scoped-VMEM stack
+    demand runs ~1.6x the naive operand estimate and the n=10000 HGP at 256
+    already overflows the 116 MiB cap.  Auto picks 256 only when the
+    estimate stays comfortably inside that calibration margin."""
+    sb = 256
+    msg = 2 * sched.e_pad * sb
+    state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
+    onehots = sched.num_tiles * _TILE * _TILE * 2
+    temps = 4 * 8 * _TILE * sb
+    return sb if msg + state + onehots + temps < 56 * 2**20 else 128
+
+
 def _resolve_onehot_vmem(sched: BSRSchedule, shot_block: int, msg_bytes: int,
                          onehot_vmem) -> bool:
     """Auto: materialize one-hot tiles in VMEM when total residency fits the
@@ -1112,7 +1126,9 @@ class BSRBPDecoder:
     max_iter: int = 0
     ms_scaling_factor: float = 0.0
     early_stop: bool = True
-    shot_block: int = 128
+    # None -> auto (_auto_shot_block): 256 where the VMEM budget safely
+    # allows, 128 otherwise
+    shot_block: Optional[int] = None
     interpret: bool = False
     check_perm: Optional[np.ndarray] = None
     inv_var_perm: Optional[np.ndarray] = None  # old -> new
@@ -1142,6 +1158,8 @@ class BSRBPDecoder:
             object.__setattr__(self, "max_iter", self.sched.num_vars)
         if self.msg_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"unknown msg_dtype {self.msg_dtype!r}")
+        if self.shot_block is None:
+            object.__setattr__(self, "shot_block", _auto_shot_block(self.sched))
         if self.msg_dtype == "int8":
             if self.method != "ms":
                 raise ValueError("int8 BSR supports min-sum only")
@@ -1164,7 +1182,7 @@ class BSRBPDecoder:
         bp_method: str = "ps",
         ms_scaling_factor: float = 0.0,
         early_stop: bool = True,
-        shot_block: int = 128,
+        shot_block: Optional[int] = None,
         interpret: bool = False,
         check_perm: Optional[np.ndarray] = None,
         var_perm: Optional[np.ndarray] = None,
