@@ -225,7 +225,7 @@ def _phi(x):
 
 def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
             post_ref, conv_ref, iters_ref,
-            msg_ref, par_ref, done_ref, oh_ref=None,
+            msg_ref, par_ref, done_ref, oh_ref=None, st_ref=None,
             *, sched: BSRSchedule, method: str, max_iter: int,
             alpha0: float, adaptive: bool, early_stop: bool,
             ablate: str = ""):
@@ -241,6 +241,16 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     sequential TPU grid) and re-read by every dot — the iota-compare build
     otherwise costs ~128^2 VPU ops per tile per pass per ITERATION, which at
     ~550 tiles rivals the MXU budget itself.
+
+    With ``st_ref`` given (min-sum production path), the check update's
+    min/sign SCAN is fused into the edge-broadcast pass: as each v2c
+    message is produced there, the per-chunk (sign, min1, min2, argmin)
+    state for the NEXT iteration's check output accumulates in registers
+    and lands in ``st_ref`` — deleting one full read+scan pass over the
+    message planes per iteration (the old pass 1).  Bit-exact vs the
+    two-pass form: the scan visits slots in the same order on the same
+    bf16-rounded values, and the output's alpha pre-multiply commutes
+    exactly because the sign factor is ±1.
     """
     C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
     n_cc = C_pad // _TILE
@@ -251,6 +261,23 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
     # pass restoring them.  Sum-product totals include _phi(+BIG) != 0, so
     # "ps" keeps the full loops (bit-exactness over ~1e-13 savings).
     skip_dead = method == "ms" and ablate == ""
+    fused = skip_dead and st_ref is not None
+
+    def st_rows(q, cc):
+        return slice(q * C_pad + cc * _TILE, q * C_pad + (cc + 1) * _TILE)
+
+    def min_scan_step(s, v, carry):
+        """One slot of the min-sum check scan (slot order fixed -> exact)."""
+        tsign, min1, min2, arg = carry
+        tsign = tsign * jnp.where(v < 0, -1.0, 1.0)
+        if s == 0:
+            return tsign, jnp.abs(v), jnp.full_like(v, _BIG), jnp.zeros_like(v)
+        m = jnp.abs(v)
+        lt = m < min1
+        min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+        arg = jnp.where(lt, float(s), arg)
+        min1 = jnp.where(lt, m, min1)
+        return tsign, min1, min2, arg
 
     def chunk_slots(cc):
         return sched.live_slots[cc] if skip_dead else Dc
@@ -290,6 +317,23 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
         msg_ref[et * _TILE:(et + 1) * _TILE, :] = jnp.broadcast_to(
             col, (_TILE, S)).astype(jnp.bfloat16)
 
+    if fused:
+        # seed the scan state from the init messages (the role of the old
+        # pass 1 on iteration 0); later iterations refresh it in-flight
+        # during the broadcast pass
+        for cc in range(n_cc):
+            n_s = sched.live_slots[cc]
+            if n_s == 0:
+                continue
+            crows = slice(cc * _TILE, (cc + 1) * _TILE)
+            carry = (1.0 - 2.0 * synd_ref[crows, :].astype(f32),) + (None,) * 3
+            for s in range(n_s):
+                v = msg_ref[s * C_pad + cc * _TILE:
+                            s * C_pad + (cc + 1) * _TILE, :].astype(f32)
+                carry = min_scan_step(s, v, carry)
+            for q in range(4):
+                st_ref[st_rows(q, cc), :] = carry[q]
+
     done_ref[0] = 0
     done_ref[1] = max_iter
 
@@ -321,6 +365,21 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                         p = plane(s)
                         out = (total_sign * jnp.where(p < 0, -1.0, 1.0)
                                * _phi(total - _phi(jnp.abs(p))))
+                        msg_ref[s * C_pad + cc * _TILE:
+                                s * C_pad + (cc + 1) * _TILE, :] = (
+                            out.astype(jnp.bfloat16))
+                elif fused:
+                    n_s = chunk_slots(cc)
+                    if n_s == 0:
+                        continue
+                    total_sign = st_ref[st_rows(0, cc), :]
+                    min1a = st_ref[st_rows(1, cc), :] * alpha
+                    min2a = st_ref[st_rows(2, cc), :] * alpha
+                    arg = st_ref[st_rows(3, cc), :]
+                    for s in range(n_s):
+                        p = plane(s)
+                        out = (total_sign * jnp.where(p < 0, -1.0, 1.0)
+                               * jnp.where(arg == float(s), min2a, min1a))
                         msg_ref[s * C_pad + cc * _TILE:
                                 s * C_pad + (cc + 1) * _TILE, :] = (
                             out.astype(jnp.bfloat16))
@@ -377,7 +436,8 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
             # iteration; fixed-iteration mode computes it once after the loop)
             if route_pairs and early_stop:
                 par_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
-            for et, pairs in (bcast_tiles() if route_pairs else ()):
+
+            def routed_acc(et, pairs):
                 acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
                 for vt, t in pairs:
                     pb = post_ref[vt * _TILE:(vt + 1) * _TILE, :].astype(
@@ -385,15 +445,49 @@ def _kernel(synd_ref, prior_t_ref, mask_t_ref, idx_ref,
                     acc = acc + jax.lax.dot_general(
                         onehot(t), pb, (((0,), (0,)), ((), ())),
                         preferred_element_type=f32)
-                if early_stop:
-                    coff = (et * _TILE) % C_pad
-                    # bf16 parity counts are exact up to Dc <= 256
-                    par_ref[coff:coff + _TILE, :] = (
-                        par_ref[coff:coff + _TILE, :]
-                        + (acc <= 0.0).astype(jnp.bfloat16))
-                rows = slice(et * _TILE, (et + 1) * _TILE)
-                msg_ref[rows, :] = (
-                    acc - msg_ref[rows, :].astype(f32)).astype(jnp.bfloat16)
+                return acc
+
+            if fused and route_pairs:
+                # chunk-major order: each chunk's v2c messages stream
+                # through the min/sign scan as they are produced, so the
+                # next iteration's check output needs no separate pass.
+                # A plane (s, cc) is live exactly when s < live_slots[cc]
+                # (slot s has an edge iff some check in the chunk has
+                # degree > s), so this covers precisely bcast_tiles().
+                for cc in range(n_cc):
+                    n_s = sched.live_slots[cc]
+                    if n_s == 0:
+                        continue
+                    crows = slice(cc * _TILE, (cc + 1) * _TILE)
+                    carry = (1.0 - 2.0 * synd_ref[crows, :].astype(f32),
+                             ) + (None,) * 3
+                    for s in range(n_s):
+                        et = s * n_cc + cc
+                        acc = routed_acc(et, sched.sched_g[et])
+                        if early_stop:
+                            # bf16 parity counts are exact up to Dc <= 256
+                            par_ref[crows, :] = (
+                                par_ref[crows, :]
+                                + (acc <= 0.0).astype(jnp.bfloat16))
+                        rows = slice(et * _TILE, (et + 1) * _TILE)
+                        vb = (acc - msg_ref[rows, :].astype(f32)).astype(
+                            jnp.bfloat16)
+                        msg_ref[rows, :] = vb
+                        carry = min_scan_step(s, vb.astype(f32), carry)
+                    for q in range(4):
+                        st_ref[st_rows(q, cc), :] = carry[q]
+            else:
+                for et, pairs in (bcast_tiles() if route_pairs else ()):
+                    acc = routed_acc(et, pairs)
+                    if early_stop:
+                        coff = (et * _TILE) % C_pad
+                        # bf16 parity counts are exact up to Dc <= 256
+                        par_ref[coff:coff + _TILE, :] = (
+                            par_ref[coff:coff + _TILE, :]
+                            + (acc <= 0.0).astype(jnp.bfloat16))
+                    rows = slice(et * _TILE, (et + 1) * _TILE)
+                    msg_ref[rows, :] = (
+                        acc - msg_ref[rows, :].astype(f32)).astype(jnp.bfloat16)
 
             if early_stop:
                 bad = jnp.zeros((1, S), f32)
@@ -1079,15 +1173,25 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
     else:
         use_oh = _resolve_onehot_vmem(
             sched, shot_block, 2 * sched.e_pad * shot_block, onehot_vmem)
-        kernel = partial(_kernel, sched=sched, method=method,
-                         max_iter=max_iter, alpha0=float(ms_scaling_factor),
-                         adaptive=float(ms_scaling_factor) == 0.0,
-                         early_stop=early_stop, ablate=ablate)
+        kernel0 = partial(_kernel, sched=sched, method=method,
+                          max_iter=max_iter, alpha0=float(ms_scaling_factor),
+                          adaptive=float(ms_scaling_factor) == 0.0,
+                          early_stop=early_stop, ablate=ablate)
         in_specs = base_specs
         args = base_args
+        extra_names = []
         if use_oh:
             scratch.append(
                 pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
+            extra_names.append("oh_ref")
+        if method == "ms" and ablate == "":
+            # fused min/sign scan state: (sign, min1, min2, argmin) per check
+            scratch.append(pltpu.VMEM((4 * C_pad, shot_block), jnp.float32))
+            extra_names.append("st_ref")
+
+        def kernel(*refs):
+            return kernel0(*refs[:10],
+                           **dict(zip(extra_names, refs[10:])))
 
     post, conv, iters = pl.pallas_call(
         kernel,
