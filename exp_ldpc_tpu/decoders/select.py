@@ -26,8 +26,8 @@ __all__ = ["make_bp_decoder", "qc_kwargs_for_code", "qc_kwargs_single_shot"]
 _QC_MAX_MONOMIALS = 256
 
 # below this dense-operand size the generic MXU matmul formulation beats the
-# roll kernel (v5e: gross code 133M vs 105M iter*shots/s at 0.5 MiB operands;
-# QC-LP [[1054,140]] flips to 3.8M vs 18.7M at 30 MiB —
+# roll kernel (v5e: gross code 232M vs 158M iter*shots/s at 0.5 MiB operands;
+# QC-LP [[1054,140]] flips to 3.8M vs 19.8M at 30 MiB —
 # artifacts/bp_families_v5e.jsonl)
 _QC_PREFER_DENSE_OPS_LIMIT = 4 * 2**20
 
@@ -76,7 +76,7 @@ def make_bp_decoder(
     if not resolve_use_matmul(tanner, "auto") and _bsr_usable(tanner):
         # too big for dense one-hot operands; XLA row gathers collapse here
         # (97k iter*shots/s on the n=4862 cyclic LP) — the BSR tile kernel
-        # is the fast path (27.4M on QC-LP [[1054,140]]).  QC layout
+        # is the fast path (32.9M on QC-LP [[1054,140]]).  QC layout
         # permutations, when known, improve its tile locality.
         return BSRBPDecoder.from_check_matrix(
             H, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
