@@ -9,6 +9,13 @@ iterations*shots/s/chip (the reference publishes no numbers of its own —
 BASELINE.md).  Measured as fixed-32-iteration min-sum batched decodes
 (batch 1024, p = 1e-3 syndromes), `reps` DISTINCT batches back-to-back.
 
+The decode runs the formulation `make_bp_decoder` auto-selects for this
+code on TPU — the fused BSR tile kernel (`decoders/bp_bsr.py`, one-hot
+128x128 routing tiles on the MXU with the min-sum check scan fused into the
+broadcast pass) — and also times the dense one-hot XLA matmul formulation
+it replaced (reported as `xla_matmul_rate` for comparison; it was the
+headline path through round 2 at ~72M).
+
 Methodology notes:
   * Each repeat decodes a DISTINCT syndrome batch — identical repeated calls
     can be deduplicated by remote-execution backends and would overstate
@@ -35,6 +42,7 @@ def main():
 
     from exp_ldpc_tpu.codes.hgp import biregular_hgp
     from exp_ldpc_tpu.decoders.bp import _bp_core, priors_to_llr
+    from exp_ldpc_tpu.decoders.bp_bsr import BSRSchedule, bsr_bp_decode
     from exp_ldpc_tpu.decoders.tanner import TannerELL
 
     shots = 1024
@@ -45,6 +53,7 @@ def main():
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=False)
     Hz = code.checks.z
     tanner = TannerELL.from_check_matrix(Hz)
+    sched = BSRSchedule.from_tanner(tanner)
     prior = jnp.asarray(priors_to_llr(np.full(Hz.shape[1], p)))
     Hz_dense = Hz.T.toarray()
 
@@ -56,7 +65,18 @@ def main():
         return jnp.asarray(stacked.astype(np.uint8).transpose(0, 2, 1))  # (R, C, S)
 
     @jax.jit
-    def run_many(synds):  # (R, C, S) distinct batches, scanned on device
+    def run_bsr(synds):  # (R, C, S) distinct batches, scanned on device
+        def step(carry, synd):
+            hard, _post, _conv, _it = bsr_bp_decode(
+                sched, prior, synd, "ms", iters, 0.625, False, 256
+            )
+            return carry + hard.sum(), None
+
+        total, _ = jax.lax.scan(step, jnp.int32(0), synds)
+        return total  # tiny device->host transfer
+
+    @jax.jit
+    def run_matmul(synds):
         def step(carry, synd):
             hard, _post, _conv, _it = _bp_core(
                 tanner, prior, synd, "ms", iters, jnp.float32(0.625), False
@@ -64,30 +84,31 @@ def main():
             return carry + hard.sum(), None
 
         total, _ = jax.lax.scan(step, jnp.int32(0), synds)
-        return total  # tiny device->host transfer
+        return total
 
     # distinct batch per timing sample: remote backends can deduplicate
     # IDENTICAL dispatches, which would fake the slope (CLAUDE.md)
     los = [jax.device_put(make_syndromes(reps_lo)) for _ in range(3)]
     his = [jax.device_put(make_syndromes(reps_hi)) for _ in range(3)]
 
-    # warmup/compile both shapes
-    run_many(los[0]).block_until_ready()
-    run_many(his[0]).block_until_ready()
+    def rate_of(run_many):
+        # warmup/compile both shapes
+        run_many(los[0]).block_until_ready()
+        run_many(his[0]).block_until_ready()
 
-    def timed(xs):
-        best = np.inf
-        for x in xs:
-            t0 = time.perf_counter()
-            run_many(x).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
+        def timed(xs):
+            best = np.inf
+            for x in xs:
+                t0 = time.perf_counter()
+                run_many(x).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    t_lo = timed(los)
-    t_hi = timed(his)
-    per_batch = (t_hi - t_lo) / (reps_hi - reps_lo)
+        per_batch = (timed(his) - timed(los)) / (reps_hi - reps_lo)
+        return iters * shots / per_batch
 
-    value = iters * shots / per_batch
+    xla_rate = rate_of(run_matmul)
+    value = rate_of(run_bsr)
     print(
         json.dumps(
             {
@@ -95,6 +116,8 @@ def main():
                 "value": value,
                 "unit": "iter*shots/s",
                 "vs_baseline": value / 1e7,
+                "formulation": f"bsr-fused[{sched.num_tiles} tiles]",
+                "xla_matmul_rate": xla_rate,
             }
         )
     )

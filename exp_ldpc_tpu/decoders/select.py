@@ -1,10 +1,14 @@
-"""Decoder-formulation selection: route QC-structured codes to the roll kernel.
+"""Decoder-formulation selection: route each code to its fastest kernel.
 
 The reference delegates every code to one Cython BP implementation
 (``/root/reference/python/qldpc/misc/_experiment.py:51-59``); on TPU the
-right kernel depends on structure — quasi-cyclic families decode with cyclic
-rolls (:mod:`.qc_bp`, no gathers/one-hot matmuls), everything else takes the
-generic :class:`~exp_ldpc_tpu.decoders.bp.BPDecoder` formulations.  This
+right kernel depends on size and structure — measured on v5e
+(``artifacts/bp_families_v5e.jsonl``): the dense one-hot MXU matmul
+formulation wins for tiny codes (< ~1 MiB of routing operands), the fused
+BSR tile kernel (:mod:`.bp_bsr`) wins everywhere above that, and the
+quasi-cyclic roll kernel (:mod:`.qc_bp`) / generic
+:class:`~exp_ldpc_tpu.decoders.bp.BPDecoder` formulations serve as
+fallbacks where the BSR kernel cannot run (CPU backends, VMEM).  This
 module is the one place that decision lives.
 """
 from __future__ import annotations
@@ -14,7 +18,7 @@ from typing import Dict, Optional
 import numpy as np
 from scipy import sparse
 
-from .bp import BPDecoder, _dense_ops_bytes, resolve_use_matmul
+from .bp import BPDecoder, _dense_ops_bytes
 from .bp_bsr import BSRBPDecoder, fits_bsr
 from .qc_bp import QCBPDecoder
 from .tanner import TannerELL
@@ -31,6 +35,14 @@ _QC_MAX_MONOMIALS = 256
 # artifacts/bp_families_v5e.jsonl)
 _QC_PREFER_DENSE_OPS_LIMIT = 4 * 2**20
 
+# from this dense-operand size up, the fused BSR tile kernel beats every
+# other formulation measured (v5e, artifacts/bp_families_v5e.jsonl):
+# HGP-225 at 1.3 MiB: 142M vs 72M matmul; HGP-625 at 10 MiB: 44M vs 16M;
+# QC-LP [[1054,140]] at 30 MiB: 33M vs 20M roll vs 3.8M matmul; HGP-2025 at
+# 105 MiB: 14M vs 2.4M.  Below it the dense matmul still wins (gross code,
+# 0.5 MiB: 232M vs 195M BSR) — the crossover sits between those points.
+_BSR_MIN_OPS_BYTES = 2**20
+
 
 def make_bp_decoder(
     H,
@@ -42,10 +54,13 @@ def make_bp_decoder(
 ):
     """BP decoder with automatic QC routing.
 
-    With ``qc_dims`` given (block-circulant layout, optionally up to the
-    new->old ``qc_check_perm``/``qc_var_perm``), builds the roll-based
+    On TPU backends, codes with >= ~1 MiB of dense routing operands build
+    the fused BSR tile kernel (fastest measured formulation from that size
+    up; QC layout permutations improve its tile locality).  Otherwise,
+    with ``qc_dims`` given (block-circulant layout, optionally up to the
+    new->old ``qc_check_perm``/``qc_var_perm``), the roll-based
     :class:`QCBPDecoder` when the monomial count is in the kernel's sweet
-    spot; otherwise the generic :class:`BPDecoder`.  Both expose the same
+    spot; else the generic :class:`BPDecoder`.  All expose the same
     ``decode_batch`` contract.
 
     Auto-selection never picks the int8 BSR message path — it is a
@@ -65,22 +80,27 @@ def make_bp_decoder(
     H = sparse.csr_matrix(H)
     tanner = TannerELL.from_check_matrix(H)
     ops_bytes = _dense_ops_bytes(tanner)
+    if ops_bytes >= _BSR_MIN_OPS_BYTES and _bsr_usable(tanner):
+        # the fused BSR tile kernel dominates from ~1 MiB of dense operands
+        # up (142M vs 72M on HGP-225, 8.7x on QC-LP [[1054,140]]; table at
+        # _BSR_MIN_OPS_BYTES).  QC layout permutations, when known, improve
+        # its tile locality.  Note the BSR kernel's early exit is GLOBAL
+        # (all shots), vs per-shot freezing in the other formulations —
+        # statistically equivalent (BP fixed points), documented in bp_bsr.
+        return BSRBPDecoder.from_check_matrix(
+            H, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
+        )
     if qc_dims is not None:
         L = int(np.prod(qc_dims))
         num_monomials = H.nnz // L
         if (num_monomials <= _QC_MAX_MONOMIALS
                 and ops_bytes > _QC_PREFER_DENSE_OPS_LIMIT):
+            # BSR not available (CPU backend or VMEM): the roll kernel is
+            # the next-best structured formulation (19.8M vs 3.8M matmul on
+            # QC-LP [[1054,140]])
             return QCBPDecoder.from_check_matrix(
                 H, qc_dims, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
             )
-    if not resolve_use_matmul(tanner, "auto") and _bsr_usable(tanner):
-        # too big for dense one-hot operands; XLA row gathers collapse here
-        # (97k iter*shots/s on the n=4862 cyclic LP) — the BSR tile kernel
-        # is the fast path (32.9M on QC-LP [[1054,140]]).  QC layout
-        # permutations, when known, improve its tile locality.
-        return BSRBPDecoder.from_check_matrix(
-            H, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
-        )
     return BPDecoder.from_check_matrix(H, **opts)
 
 

@@ -395,3 +395,20 @@ def test_bsr_auto_shot_block():
         random_ldpc(rng, 150, 300), error_rate=1e-3, shot_block=64,
         interpret=True)
     assert dec.shot_block == 64
+
+
+def test_make_bp_decoder_bsr_takes_over_above_1mib(code300, monkeypatch):
+    """With a TPU present (monkeypatched), the fused BSR kernel is selected
+    from ~1 MiB of dense routing operands up (HGP-225-scale), while tiny
+    codes (gross-scale, < 1 MiB) keep the dense matmul formulation."""
+    from exp_ldpc_tpu.codes.bivariate_bicycle import gross_code
+    from exp_ldpc_tpu.codes.hgp import biregular_hgp
+    from exp_ldpc_tpu.decoders import select
+
+    monkeypatch.setattr(select, "_bsr_usable", lambda t: True)
+    hgp = biregular_hgp(12, 3, 4, seed=0, compute_logicals=False).checks.z
+    assert isinstance(
+        select.make_bp_decoder(hgp, error_rate=1e-3), BSRBPDecoder)
+    gross = gross_code(compute_logicals=False).checks.z
+    assert isinstance(
+        select.make_bp_decoder(gross, error_rate=1e-3), BPDecoder)
