@@ -272,9 +272,13 @@ class BPDetectorCorrect:
     with the fault/detector indexing bug SURVEY.md §2.5.1 fixed)."""
 
     def __init__(self, dem, bp_osd_options: Dict):
+        from .select import make_bp_decoder
+
         self._dsc = DetectorSpacetimeCode(dem)
         bp_options = {k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")}
-        self._bpd = BPDecoder.from_check_matrix(
+        # fault matrices grow with rounds; route through the formulation
+        # selection (fused BSR kernel on TPU above the ~1 MiB crossover)
+        self._bpd = make_bp_decoder(
             self._dsc.fault_check_matrix,
             channel_probs=self._dsc.fault_priors,
             **bp_options,
