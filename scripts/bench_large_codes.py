@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """BP decode throughput across code families / formulations on one chip.
 
-Covers the code-scale axis the headline bench (bench.py, HGP-225) doesn't:
-  * gross code [[144,12,12]]      — small BB code, matmul routing
-  * QC-LP [[1054,140]] (PK'20)    — medium, matmul routing
-  * cyclic LP n=6512              — large, static-gather routing (the
-                                    formulation `_DENSE_OPS_LIMIT` switches
-                                    to when one-hot operands outgrow HBM
-                                    comfort)
+Covers the code-scale axis from the gross code [[144,12,12]] (where the
+dense one-hot matmul formulation still wins) through an HGP ladder
+(n = 225 / 400 / 625 / 1600 / 2025), QC-LP [[1054,140]], the n=4862
+cyclic LP, and a n=10000 HGP — each measured on the formulations that
+apply (matmul / qc-roll / BSR tile kernel / int8 ablation).  These rows
+are the evidence base for the `decoders/select.py` crossovers and the
+DESIGN.md §12 roofline table.
 
 Methodology matches bench.py (CLAUDE.md): fixed-iteration min-sum, DISTINCT
 syndrome batches scanned on device, two repeat counts slope-fit to exclude
@@ -156,31 +156,58 @@ def main():
                     help="BSR kernel loop mode: auto|unrolled|dynamic")
     args = ap.parse_args()
 
+    from functools import lru_cache
+
     from exp_ldpc_tpu.codes.bivariate_bicycle import gross_code
     from exp_ldpc_tpu.codes.hgp import biregular_hgp
     from exp_ldpc_tpu.codes.lifted import lifted_product_code_cyclic
     from exp_ldpc_tpu.codes.qc_lifted import qc_lifted_product_code
 
-    gross_H = gross_code(compute_logicals=False).checks.z
-    shifts = [[1, 2, 4, 8, 16], [5, 10, 20, 9, 18], [25, 19, 7, 14, 28]]
-    qclp_H = qc_lifted_product_code(shifts, 31, compute_logicals=False).checks.z
-    cyclic = lifted_product_code_cyclic(
-        q=22, m=1, w=14, r=5, seed=42, compute_logicals=False
-    )
-    cyclic_H = cyclic.checks.z
-    cyc_meta = cyclic.qc_meta
-    hgp10k_H = biregular_hgp(80, 3, 4, seed=7, compute_logicals=False).checks.z
-    cyc_perms = (cyc_meta.z_check_perm, cyc_meta.qubit_perm)
+    # constructors are LAZY (and cached) so a --only filtered run does not
+    # pay minutes of host-side construction for unrelated codes
+    @lru_cache(maxsize=None)
+    def gross_H():
+        return gross_code(compute_logicals=False).checks.z
 
-    # (name, H, qc_dims, qc_perms, bsr, bsr_int8)
+    @lru_cache(maxsize=None)
+    def qclp_H():
+        shifts = [[1, 2, 4, 8, 16], [5, 10, 20, 9, 18], [25, 19, 7, 14, 28]]
+        return qc_lifted_product_code(
+            shifts, 31, compute_logicals=False).checks.z
+
+    @lru_cache(maxsize=None)
+    def cyclic():
+        return lifted_product_code_cyclic(
+            q=22, m=1, w=14, r=5, seed=42, compute_logicals=False)
+
+    def cyclic_H():
+        return cyclic().checks.z
+
+    def cyc_perms():
+        meta = cyclic().qc_meta
+        return (meta.z_check_perm, meta.qubit_perm)
+
+    @lru_cache(maxsize=None)
+    def hgp_H(nv, seed):
+        return biregular_hgp(nv, 3, 4, seed=seed,
+                             compute_logicals=False).checks.z
+
+    # (name, H(), qc_dims, qc_perms(), bsr, bsr_int8)
+    none = lambda: None  # noqa: E731
     cases = [
-        ("gross_144_12_12", gross_H, None, None, False, False),
-        ("gross_144_12_12", gross_H, (12, 6), None, False, False),
-        ("qclp_1054_140", qclp_H, None, None, False, False),
-        ("qclp_1054_140", qclp_H, (31,), None, False, False),
-        ("qclp_1054_140", qclp_H, None, None, True, False),
-        ("qclp_1054_140", qclp_H, None, None, False, True),
-        ("cyclic_lp_4862", cyclic_H, None, None, False, False),
+        ("gross_144_12_12", gross_H, None, none, False, False),
+        ("gross_144_12_12", gross_H, None, none, True, False),
+        ("gross_144_12_12", gross_H, (12, 6), none, False, False),
+    ] + [
+        (f"hgp_{nv * nv + (nv * 3 // 4) ** 2}",
+         (lambda nv=nv: hgp_H(nv, 42)), None, none, bsr, False)
+        for nv in (12, 16, 20, 32, 36) for bsr in (False, True)
+    ] + [
+        ("qclp_1054_140", qclp_H, None, none, False, False),
+        ("qclp_1054_140", qclp_H, (31,), none, False, False),
+        ("qclp_1054_140", qclp_H, None, none, True, False),
+        ("qclp_1054_140", qclp_H, None, none, False, True),
+        ("cyclic_lp_4862", cyclic_H, None, none, False, False),
         # the 1332-monomial abelian LP exceeds the roll kernel's unroll
         # limit; its fast path is the BSR tile kernel (QC ordering improves
         # tile locality: 548 vs 692 tiles)
@@ -189,24 +216,25 @@ def main():
         # >=10k-qubit scale: (3,4)-HGP with nv=80 classical bits ->
         # n = 80^2 + 60^2 = 10000, 4800 Z checks, E = 33600.  The natural
         # HGP grid ordering is already tile-local; no extra permutation.
-        ("hgp_10000", hgp10k_H, None, None, True, False),
-    ]
-    from exp_ldpc_tpu.decoders.select import _QC_MAX_MONOMIALS
-    cases = [
-        c for c in cases
-        if c[2] is None or c[1].nnz // int(np.prod(c[2])) <= _QC_MAX_MONOMIALS
+        ("hgp_10000", (lambda: hgp_H(80, 7)), None, none, True, False),
     ]
 
+    from exp_ldpc_tpu.decoders.select import _QC_MAX_MONOMIALS
+
     out = []
-    for name, H, qc_dims, qc_perms, bsr, bsr_int8 in cases:
+    for name, make_H, qc_dims, make_perms, bsr, bsr_int8 in cases:
         tag = (f"{name}/" + ("bsr-int8" if bsr_int8 else "bsr" if bsr
                              else "qc" if qc_dims is not None else "base"))
         if args.only and args.only not in tag:
             continue
+        H = make_H()
+        if qc_dims is not None and (
+                H.nnz // int(np.prod(qc_dims)) > _QC_MAX_MONOMIALS):
+            continue
         rec = bench_code(
             name, H, shots=args.shots, iters=args.iters, p=args.p,
-            reps_lo=4, reps_hi=16, qc_dims=qc_dims, qc_perms=qc_perms, bsr=bsr,
-            bsr_int8=bsr_int8, shot_block=args.shot_block,
+            reps_lo=4, reps_hi=16, qc_dims=qc_dims, qc_perms=make_perms(),
+            bsr=bsr, bsr_int8=bsr_int8, shot_block=args.shot_block,
             loop_mode=args.loop_mode,
         )
         print(json.dumps(rec))
