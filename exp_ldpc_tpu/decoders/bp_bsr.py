@@ -1004,11 +1004,12 @@ def _resolve_loop_mode(sched: BSRSchedule, loop_mode: str, ablate: str) -> str:
 
 
 def _auto_shot_block(sched: BSRSchedule) -> int:
-    """256-shot blocks measured ~8% faster than 128 on large codes (cyclic
-    LP n=4862: 3.31M vs 3.06M iter*shots/s), but Mosaic's scoped-VMEM stack
-    demand runs ~1.6x the naive operand estimate and the n=10000 HGP at 256
-    already overflows the 116 MiB cap.  Auto picks 256 only when the
-    estimate stays comfortably inside that calibration margin."""
+    """256-shot blocks measured ~8% faster than 128 on the pre-fusion
+    kernel (cyclic LP n=4862: 3.31M vs 3.06M iter*shots/s) and no slower
+    since the check-scan fusion (3.48M vs 3.49M), but Mosaic's scoped-VMEM
+    stack demand runs ~1.6x the naive operand estimate and the n=10000 HGP
+    at 256 already overflows the 116 MiB cap.  Auto picks 256 only when
+    the estimate stays comfortably inside that calibration margin."""
     sb = 256
     msg = 2 * sched.e_pad * sb
     state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
@@ -1238,9 +1239,9 @@ class BSRBPDecoder:
     inv_var_perm: Optional[np.ndarray] = None  # old -> new
     # "bfloat16" (default, any method) or "int8" (fixed-point min-sum,
     # bit-exact vs decoders.bp_int8).  int8 is ABLATION-ONLY: despite half
-    # the VMEM/bandwidth it measured SLOWER than bf16 on v5e (2.56M vs
-    # 3.31M iter*shots/s on the n=4862 cyclic LP at shot_block 256; 18.6M
-    # vs 27.5M on QC-LP [[1054,140]] — artifacts/bp_families_v5e.jsonl):
+    # the VMEM/bandwidth it measured SLOWER than bf16 on v5e (2.55M vs
+    # 3.45M iter*shots/s on the n=4862 cyclic LP at shot_block 256; 21.9M
+    # vs 32.9M on QC-LP [[1054,140]] — artifacts/bp_families_v5e.jsonl):
     # the integer VPU min/sign reduction costs more, and the int8 MXU dot
     # is only 1.3x bf16 at this shape (artifacts/mxu_dtypes_v5e.jsonl).
     # make_bp_decoder never selects it; request it only for ablations.
