@@ -54,60 +54,98 @@ def product_permutation_route(R: np.ndarray) -> np.ndarray:
     return A
 
 
-def _even_odd_sort(interval: int, compare, swap) -> Deque[Deque[Swap]]:
-    """Even/odd nearest-neighbour transposition sort; returns per-timestep swaps."""
-    swap_list: Deque[Deque[Swap]] = deque()
-    for n in range(interval):
-        timestep: Deque[Swap] = deque()
-        index_set = range(0, interval - 1, 2) if n % 2 == 0 else range(1, interval - 1, 2)
-        for i in index_set:
-            if not compare(i, i + 1):
-                timestep.append(swap(i, i + 1))
-        swap_list.append(timestep)
-    return swap_list
+def _oet_schedule(K: np.ndarray) -> Tuple[np.ndarray, List[Tuple[int, np.ndarray]]]:
+    """Batched odd-even transposition sort over the rows of a key matrix.
+
+    Every row of ``K`` (shape ``(nseq, L)``) is sorted simultaneously with the
+    canonical L-timestep odd-even transposition network.  Instead of mutating
+    payload arrays through compare/swap callbacks, the whole network is driven
+    by vectorized comparisons on the key matrix:
+
+      * ``masks`` — one ``(offset, swapped)`` pair per timestep, where
+        ``swapped[s, k]`` says whether sequence ``s`` exchanged positions
+        ``offset + 2k`` and ``offset + 2k + 1`` at that timestep;
+      * ``order`` — the accumulated permutation, ``order[s, p]`` = original
+        position of the element that ends up at position ``p`` of sequence
+        ``s`` (apply with ``np.take_along_axis``).
+    """
+    K = np.ascontiguousarray(K).copy()
+    nseq, L = K.shape
+    order = np.broadcast_to(np.arange(L), (nseq, L)).copy()
+    masks: List[Tuple[int, np.ndarray]] = []
+    for t in range(L):
+        off = t & 1
+        left = np.arange(off, L - 1, 2)
+        if left.size == 0:
+            masks.append((off, np.zeros((nseq, 0), dtype=bool)))
+            continue
+        right = left + 1
+        ka, kb = K[:, left], K[:, right]
+        swapped = ka > kb
+        K[:, left] = np.where(swapped, kb, ka)
+        K[:, right] = np.where(swapped, ka, kb)
+        oa, ob = order[:, left], order[:, right]
+        order[:, left] = np.where(swapped, ob, oa)
+        order[:, right] = np.where(swapped, oa, ob)
+        masks.append((off, swapped))
+    return order, masks
 
 
-def _collate(row_swaps: List[Deque[Deque[Swap]]]) -> Deque[Deque[Swap]]:
-    """Merge per-row timestep lists into combined parallel timesteps."""
-    combined: Deque[Deque[Swap]] = deque()
-    if not row_swaps:
-        return combined
-    assert len({len(r) for r in row_swaps}) == 1
-    while len(row_swaps[0]) > 0:
+def _masks_to_timesteps(
+    masks: List[Tuple[int, np.ndarray]], along_columns: bool
+) -> List[Deque[Swap]]:
+    """Convert per-timestep swap masks into grid-coordinate swap deques.
+
+    For a column stage, sequence ``s`` is grid column ``s`` and the sorted
+    position is the grid row; for a row stage the roles are exchanged.
+    """
+    timesteps: List[Deque[Swap]] = []
+    for off, swapped in masks:
         timestep: Deque[Swap] = deque()
-        for row in row_swaps:
-            timestep.extend(row.popleft())
-        combined.append(timestep)
-    return combined
+        seqs, slots = np.nonzero(swapped)
+        for s, k in zip(seqs.tolist(), slots.tolist()):
+            p = off + 2 * k
+            if along_columns:
+                timestep.append(((p, s), (p + 1, s)))
+            else:
+                timestep.append(((s, p), (s, p + 1)))
+        timesteps.append(timestep)
+    return timesteps
 
 
 def grid_permutation_route(R: np.ndarray) -> List[Deque[Swap]]:
     """Nearest-neighbour swap schedule realizing a grid permutation.
 
-    Three stages: sort each column by routing row, each row by destination
-    column, each column by destination row.  All swaps within a returned
-    timestep are disjoint.
+    Behavioral counterpart of reference ``swap_route.py:100-135`` (three
+    sorting-network stages: each column by routing row, each row by
+    destination column, each column by destination row), but computed as a
+    batch: each stage extracts one key matrix, runs the whole
+    odd-even-transposition network for *all* sequences at once via
+    :func:`_oet_schedule`, translates the boolean swap masks into disjoint
+    per-timestep grid swaps, and applies the stage's accumulated ``order``
+    permutation to the route tensor with ``np.take_along_axis``.
     """
     G_size, H_size = R.shape[0], R.shape[1]
     routing_row = np.reshape(product_permutation_route(R), (G_size, H_size, 1))
     route = np.concatenate([R, routing_row], axis=2)
     swaps: List[Deque[Swap]] = []
 
-    def route_stage(along_columns: bool, key: int):
-        A = route.transpose((1, 0, 2)) if along_columns else route.view()
-        stage_swaps = []
-        for i in range(A.shape[0]):
-            def compare(j0, j1, i=i):
-                return A[i, j0, key] <= A[i, j1, key]
+    # (along_columns, key-plane) per stage: routing row, dest column, dest row.
+    for along_columns, key in ((True, 2), (False, 1), (True, 0)):
+        if along_columns:
+            keys = route[:, :, key].T  # one sequence per grid column
+        else:
+            keys = route[:, :, key]  # one sequence per grid row
+        order, masks = _oet_schedule(keys)
+        swaps.extend(_masks_to_timesteps(masks, along_columns))
+        if along_columns:
+            route = np.take_along_axis(route, order.T[:, :, None], axis=0)
+        else:
+            route = np.take_along_axis(route, order[:, :, None], axis=1)
 
-            def swap(j0, j1, i=i):
-                A[i, [j1, j0], :] = A[i, [j0, j1], :]
-                return ((j0, i), (j1, i)) if along_columns else ((i, j0), (i, j1))
-
-            stage_swaps.append(_even_odd_sort(A.shape[1], compare, swap))
-        swaps.extend(_collate(stage_swaps))
-
-    route_stage(True, 2)   # columns -> routing row
-    route_stage(False, 1)  # rows -> destination column
-    route_stage(True, 0)   # columns -> destination row
+    assert np.array_equal(
+        route[:, :, 0], np.broadcast_to(np.arange(G_size)[:, None], (G_size, H_size))
+    ) and np.array_equal(
+        route[:, :, 1], np.broadcast_to(np.arange(H_size), (G_size, H_size))
+    ), "swap schedule failed to realize the permutation"
     return swaps
