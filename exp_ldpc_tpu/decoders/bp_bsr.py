@@ -55,6 +55,7 @@ from scipy import sparse
 
 from .bp import priors_to_llr
 from .tanner import TannerELL
+from ..utils.compile_cache import enable_compilation_cache
 
 __all__ = ["BSRSchedule", "bsr_bp_decode", "bsr_bp_decode_int8", "fits_bsr",
            "BSRBPDecoder"]
@@ -122,11 +123,6 @@ class BSRSchedule:
 
 @lru_cache(maxsize=16)
 def _build_schedule(tanner: TannerELL) -> BSRSchedule:
-    # large-tile-count kernels pay ~1 min Mosaic compiles; make them a
-    # once-per-machine cost instead of once-per-process
-    from ..utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
-
     C, V, Dc = tanner.num_checks, tanner.num_vars, tanner.max_check_degree
     C_pad = _round_up(C, _TILE)
     V_pad = _round_up(V, _TILE)
@@ -204,13 +200,17 @@ def _build_schedule(tanner: TannerELL) -> BSRSchedule:
 
 def fits_bsr(tanner: TannerELL, shot_block: int = 128,
              vmem_budget_bytes: int = 64 * 2**20) -> bool:
-    """VMEM feasibility: bf16 messages + f32 posterior/parity + materialized
-    one-hot tiles + tables.  v5e/v6e have 128 MiB VMEM per core and the
-    kernel runs with a 100 MiB scoped limit; the 64 MiB default leaves
-    headroom for the compiler's double-buffered operand streaming."""
+    """VMEM feasibility: bf16 messages + f32 posterior/parity + fused-scan
+    state + materialized one-hot tiles + tables.  v5e/v6e have 128 MiB VMEM
+    per core and the kernel runs with a ``_VMEM_LIMIT`` (116 MiB) scoped
+    limit; the 64 MiB default budget leaves headroom for the compiler's
+    double-buffered operand streaming (Mosaic's measured stack demand runs
+    ~1.6x the naive operand estimate, see :func:`_auto_shot_block`)."""
     sched = BSRSchedule.from_tanner(tanner)
     msg = 2 * sched.e_pad * shot_block
     state = 4 * shot_block * (sched.v_pad + 2 * sched.c_pad)  # post/par/synd
+    # min-sum fused check-scan scratch: (sign, min1, min2, argmin) f32
+    state += 16 * sched.c_pad * shot_block
     onehots = sched.num_tiles * _TILE * _TILE * 2
     # index tables are O(E) int32; live temporaries ~8 (128, S) chunks
     tables = 4 * (sched.e_pad + 2 * sched.e_pad // _TILE * _TILE)
@@ -990,6 +990,13 @@ def _kernel_int8(synd_ref, prior_t_ref, prior8_t_ref, maski_t_ref, idx_ref,
 # compile is a once-per-machine cost, so auto keeps the fast kernel up to
 # very large schedules and uses dynamic only where an uncached first
 # compile would take many minutes.
+#
+# NOTE: the dynamic hatch is DIRECT-CALL-ONLY.  make_bp_decoder can never
+# reach it: at >= 3000 tiles the always-materialized one-hot scratch alone
+# (~98 MiB bf16) exceeds fits_bsr's 64 MiB budget, so selection rejects
+# BSR before loop_mode is consulted; a direct bsr_bp_decode caller at that
+# scale must also keep shot_block small enough that messages + the
+# unconditional oh_ref scratch fit the 116 MiB scoped cap.
 _DYN_MIN_TILES = 3000
 
 
@@ -1013,6 +1020,7 @@ def _auto_shot_block(sched: BSRSchedule) -> int:
     sb = 256
     msg = 2 * sched.e_pad * sb
     state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
+    state += 16 * sched.c_pad * sb  # min-sum fused check-scan scratch
     onehots = sched.num_tiles * _TILE * _TILE * 2
     temps = 4 * 8 * _TILE * sb
     return sb if msg + state + onehots + temps < 56 * 2**20 else 128
@@ -1040,6 +1048,10 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
     """int8 BSR decode.  ``prior_q`` are int32 LLR quanta
     (:func:`~exp_ldpc_tpu.decoders.bp_int8.quantize_priors`); the returned
     posterior is in quanta (int32) — scale by delta for LLR units."""
+    # runs at trace time, i.e. exactly once before each fresh compile —
+    # large-tile-count kernels pay ~1 min Mosaic compiles; the persistent
+    # cache makes them a once-per-machine cost instead of once-per-process
+    enable_compilation_cache()
     C, V = sched.num_checks, sched.num_vars
     C_pad, V_pad = sched.c_pad, sched.v_pad
     Cs, S = syndromes.shape
@@ -1115,6 +1127,8 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
     """syndromes (C, S) uint8 -> (hard (V,S) uint8, posterior (V,S) f32,
     converged (S,) bool, iters (S,) int32) — the ``_bp_core`` contract
     (global early exit, see module docstring)."""
+    # trace-time side effect: persistent compile cache on before compiling
+    enable_compilation_cache()
     C, V = sched.num_checks, sched.num_vars
     C_pad, V_pad = sched.c_pad, sched.v_pad
     Cs, S = syndromes.shape

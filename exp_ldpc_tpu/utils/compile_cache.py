@@ -12,10 +12,12 @@ cache and recompiles.  Verified effective through this environment's
 remote-compile backend (the compiled artifact is what gets cached, not the
 remote session).
 
-Enabled automatically the first time a BSR schedule is built; opt out with
-``EXP_LDPC_TPU_NO_COMPILE_CACHE=1``, or pre-set
-``jax_compilation_cache_dir`` / ``JAX_COMPILATION_CACHE_DIR`` yourself (an
-existing setting is always respected).
+Enabled automatically when a BSR decode entry point first traces (i.e.
+right before the expensive compile — never from pure feasibility probes
+like ``fits_bsr``); opt out with ``EXP_LDPC_TPU_NO_COMPILE_CACHE=1``, or
+pre-set ``jax_compilation_cache_dir`` / ``JAX_COMPILATION_CACHE_DIR`` or
+``jax_persistent_cache_min_compile_time_secs`` yourself (existing settings
+are always respected).
 """
 from __future__ import annotations
 
@@ -45,6 +47,6 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     target = cache_dir or _DEFAULT_DIR
     os.makedirs(target, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", target)
-    # the default threshold (1 min) would skip mid-size kernels that still
-    # dominate sweep startup; anything over a couple of seconds is worth it
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # jax's default jax_persistent_cache_min_compile_time_secs is 1.0 s,
+    # which already caches every kernel we care about (the cheapest BSR
+    # compiles are ~2 s) — leave it alone so a user-set value is respected

@@ -3,12 +3,24 @@
 
 Runs the fused on-device Monte-Carlo pipeline (device Pauli-frame sampler +
 batched spacetime BP) for the flagship HGP-225 code across a p grid, and
-cross-checks one grid point against the independent host oracle chain (CPU
-Pauli-frame sampler + driver decode) within binomial error bars.
+cross-checks grid points against independent host chains within binomial
+error bars.
 
-Writes one JSON line per point; use --csv for the reference CSV schema.
+Decode modes (reference default is bposd, ``misc/p_sweep.py:63``):
 
-  python scripts/validate_ler.py --samples 100000
+  --decode bp     plain spacetime min-sum BP; unconverged shots are
+                  hard-decisioned.  Cross-check: CPU oracle sampler through
+                  the SAME decode program (isolates the samplers).
+  --decode bposd  device BP + host OSD redecode of every BP-unconverged
+                  shot (the reference's OSD-only-on-BP-failures contract,
+                  ``misc/_experiment.py:62-83``).  Cross-check: CPU oracle
+                  sampler through the INDEPENDENT host driver chain
+                  (``decoders/drivers.py`` BPOSDCorrect — host BP+OSD on
+                  every shot), so it exercises sampler AND decoder.
+
+Writes one JSON line per point; use --out to append JSONL records.
+
+  python scripts/validate_ler.py --samples 100000 --decode bposd
 """
 import argparse
 import json
@@ -28,6 +40,40 @@ def wilson_interval(k, n, z=2.0):
     return (max(0.0, center - half), min(1.0, center + half))
 
 
+def split_record(pipe, record):
+    """(S, M) sampler record -> (history (S, rounds, r), readout (S, n)),
+    mirroring the device pipeline's record layout (per round
+    [x_checks..., z_checks...], then the transversal data readout)."""
+    S = record.shape[0]
+    mpr = pipe.x_count + pipe.z_count
+    blk = 0 if pipe.use_x_logicals else pipe.x_count
+    r = pipe.x_count if pipe.use_x_logicals else pipe.z_count
+    rounds = pipe.rounds
+    readout = record[:, mpr * rounds: mpr * rounds + pipe.num_data]
+    if rounds > 0:
+        per_round = record[:, : mpr * rounds].reshape(S, rounds, mpr)
+        history = per_round[:, :, blk: blk + r]
+    else:
+        history = np.zeros((S, 0, r), dtype=record.dtype)
+    return history.astype(np.int64), readout.astype(np.int64)
+
+
+def host_driver_failures(pipe, seed, shots):
+    """Fully-independent host chain: CPU oracle sampler -> host BP+OSD
+    driver (BPOSDCorrect) on EVERY shot -> logical-failure count."""
+    from exp_ldpc_tpu.sampler.reference import FrameSampler
+
+    fs = FrameSampler(pipe.storage_sim.circuit, seed=seed)
+    record = fs.sample(shots)
+    history, readout = split_record(pipe, np.asarray(record))
+    corrector = pipe._osd if pipe._osd is not None else pipe._build_osd_corrector()
+    corr = np.asarray(corrector.readout_correction_batch(history, readout),
+                      dtype=np.int64)
+    corrected = (readout + corr) % 2
+    flips = (corrected @ np.asarray(pipe._Lz, dtype=np.int64).T) % 2
+    return int(np.any(flips != 0, axis=1).sum()), shots
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=20000)
@@ -39,6 +85,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--p-grid", type=str, default="(1e-3,8e-3,5)")
     ap.add_argument("--max-iter", type=int, default=48)
+    ap.add_argument("--decode", choices=("bp", "bposd"), default="bp")
+    ap.add_argument("--osd-cap", type=int, default=0,
+                    help="per-device cap on shots shipped to the host OSD "
+                         "redecode (0 = auto: 1/4 of the device batch)")
     ap.add_argument("--crosscheck-samples", type=int, default=2000)
     ap.add_argument("--crosscheck-points", type=int, default=1,
                     help="cross-check the top-N grid points against the "
@@ -77,6 +127,10 @@ def main():
         priors = lambda p: (2 / 3 * p, 2 / 3 * p)  # noqa: E731
     batch = args.batch_shots or args.samples
     n_calls = -(-args.samples // batch)
+    osd_cap = 0
+    if args.decode == "bposd":
+        osd_cap = args.osd_cap or max(256, batch // 4)
+        osd_cap = min(osd_cap, batch)
     results = []
     pipe = None
     for i, p in enumerate(p_grid):
@@ -86,22 +140,28 @@ def main():
                 code=code, rounds=args.rounds, noise_model=make_noise(p, p),
                 data_prior=dp, meas_prior=mp,
                 shots_per_device=batch, max_iter=args.max_iter,
-                bp_method="ms", ms_scaling_factor=0.625)
+                bp_method="ms", ms_scaling_factor=0.625,
+                osd_fallback_cap=osd_cap)
         else:
             # one compile serves the whole grid: only probability values change
             pipe.rebind_noise(make_noise(p, p), dp, mp)
         t0 = time.perf_counter()
         fails = shots = unconv = 0
         for j in range(n_calls):
-            f, s, u = pipe.run(jax.random.PRNGKey(100 + 1000 * i + j))
+            # fold_in keeps per-call keys collision-free for any n_calls
+            # (a fixed stride would wrap between adjacent grid points)
+            key = jax.random.fold_in(jax.random.PRNGKey(100 + i), j)
+            f, s, u = pipe.run(key)
             fails, shots, unconv = fails + f, shots + s, unconv + u
         dt = time.perf_counter() - t0
         low, high = wilson_interval(fails, shots)
         rec = {
-            "noise": args.noise,
+            "noise": args.noise, "decode": args.decode,
             "p_ph": float(p), "failures": fails, "samples": shots,
             "ler": fails / shots, "ler_ci_low": low, "ler_ci_high": high,
-            "bp_unconverged": unconv, "walltime": dt,
+            ("osd_decoded" if args.decode == "bposd" else "bp_unconverged"):
+                unconv,
+            "walltime": dt,
         }
         results.append(rec)
         print(json.dumps(rec, default=float), flush=True)
@@ -114,22 +174,30 @@ def main():
 
     checks = []
     if not args.skip_crosscheck:
-        # identical decode program, records from the independent CPU oracle
-        # sampler: any statistical gap isolates to the samplers
         for k in range(min(args.crosscheck_points, len(p_grid))):
             idx = len(p_grid) - 1 - k
             p = float(p_grid[idx])
             n = args.crosscheck_samples
             dp, mp = priors(p)
             pipe.rebind_noise(make_noise(p, p), dp, mp)
-            fails_host, n, _u = pipe.run_host_sampled(seed=999 + k, shots=n)
+            if args.decode == "bposd":
+                # independent chain: CPU sampler + host BP+OSD driver
+                fails_host, n = host_driver_failures(pipe, seed=999 + k,
+                                                     shots=n)
+                chain = "host-sampler+BPOSDCorrect"
+            else:
+                # identical decode program, records from the independent CPU
+                # oracle sampler: a statistical gap isolates to the samplers
+                fails_host, n, _u = pipe.run_host_sampled(seed=999 + k, shots=n)
+                chain = "host-sampler+device-decode"
             dev = results[idx]
             # pooled two-proportion z-test at 2 sigma
             f1, n1 = dev["failures"], dev["samples"]
             pool = (f1 + fails_host) / (n1 + n)
             sigma = np.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n))
             gap = abs(f1 / n1 - fails_host / n)
-            rec = {"noise": args.noise, "crosscheck_p": p,
+            rec = {"noise": args.noise, "decode": args.decode,
+                   "crosscheck_p": p, "crosscheck_chain": chain,
                    "host_failures": fails_host, "host_samples": n,
                    "device_ler": f1 / n1, "host_ler": fails_host / n,
                    "gap": gap, "two_sigma": 2 * sigma,
