@@ -38,6 +38,7 @@ _ALIASES = {
     "M": "MZ",
     "MR": "MRZ",
     "CNOT": "CX",
+    "E": "CORRELATED_ERROR",
 }
 GATES_1Q_RESET = {"RX", "RZ"}
 GATES_1Q_MEAS = {"MX", "MZ"}
@@ -48,11 +49,16 @@ NOISE_2Q = {"DEPOLARIZE2"}
 # multi-parameter Pauli channels: one Pauli drawn from DISJOINT per-Pauli
 # probabilities (Stim semantics).  Parameter counts are fixed by the channel.
 NOISE_MULTI_ARG = {"PAULI_CHANNEL_1": 3, "PAULI_CHANNEL_2": 15}
-# channels in the reference's vocabulary (storage_sim.py:77-87) that the
-# native samplers deliberately do NOT implement; rejected at parse time
-# with an actionable message rather than deep inside a jit trace
-NOISE_UNSUPPORTED = {"CORRELATED_ERROR", "ELSE_CORRELATED_ERROR", "E", "ELSE_ERROR"}
+# correlated Pauli-product channels (stim semantics, reference vocabulary at
+# ``storage_sim.py:77-87``): CORRELATED_ERROR(p) applies its whole Pauli
+# product with probability p and starts a chain; each following
+# ELSE_CORRELATED_ERROR(p) applies its product with probability p ONLY if
+# nothing earlier in the chain fired.  Targets are Pauli targets (X1 Y2 Z3).
+# Never fused: chain adjacency is semantic.
+NOISE_CORRELATED = {"CORRELATED_ERROR", "ELSE_CORRELATED_ERROR"}
 FUSABLE = GATES_2Q | NOISE_1Q | NOISE_2Q | set(NOISE_MULTI_ARG)
+_PAULI_TARGET_RE = re.compile(r"^([XYZ])(\d+)$")
+_PAULI_CODE = {"X": 1, "Y": 2, "Z": 3}
 
 
 @dataclass
@@ -69,6 +75,9 @@ class Op:
     targets: np.ndarray  # int32; for 2-qubit ops, interleaved pairs (a0 b0 a1 b1 ...)
     meas_offset: int = -1  # index of first measurement this op records (within its block)
     args: Optional[np.ndarray] = None  # multi-parameter channel probabilities
+    # correlated channels only: per-target Pauli codes (1=X, 2=Y, 3=Z),
+    # aligned with ``targets``
+    paulis: Optional[np.ndarray] = None
 
     @property
     def num_measurements(self) -> int:
@@ -127,7 +136,8 @@ class ParsedCircuit:
         sampler, re-bound to a new :meth:`noise_args` vector at runtime."""
         def block_sig(ops):
             return tuple(
-                (op.name, op.num_noise_args, op.targets.tobytes(), op.meas_offset)
+                (op.name, op.num_noise_args, op.targets.tobytes(), op.meas_offset,
+                 None if op.paulis is None else op.paulis.tobytes())
                 for op in ops
             )
         return (
@@ -255,12 +265,13 @@ def parse_circuit(circuit) -> ParsedCircuit:
     def current_list() -> List[Op]:
         return (prologue, body, epilogue)[phase]
 
-    def emit(name: str, arg, targets: List[int], args=None):
+    def emit(name: str, arg, targets: List[int], args=None, paulis=None):
         nonlocal max_qubit, meas_count
         arr = np.asarray(targets, dtype=np.int32)
         if arr.size:
             max_qubit = max(max_qubit, int(arr.max()))
-        op = Op(name, arg, arr, meas_offset=block_meas[phase], args=args)
+        op = Op(name, arg, arr, meas_offset=block_meas[phase], args=args,
+                paulis=paulis)
         nmeas = op.num_measurements
         block_meas[phase] += nmeas
         meas_count += nmeas
@@ -290,14 +301,31 @@ def parse_circuit(circuit) -> ParsedCircuit:
             idx = int(float(argstr)) if argstr else 0
             observables.setdefault(idx, []).extend(_parse_rec_targets(rest, meas_count))
             return
-        if name in NOISE_UNSUPPORTED:
-            raise ValueError(
-                f"{name} is not implemented by the native samplers: the "
-                "Pauli-frame planes track independent per-site channels, and "
-                "correlated-error chains need stim-style conditional "
-                "sampling.  Rewrite the noise model with PAULI_CHANNEL_1/2 "
-                f"or DEPOLARIZE1/2 instead.  Offending line: {line!r}"
-            )
+        if name in NOISE_CORRELATED:
+            if arg is None:
+                raise ValueError(f"{name} requires a probability: {line!r}")
+            qubits: List[int] = []
+            codes: List[int] = []
+            for tok in rest.split():
+                pm = _PAULI_TARGET_RE.match(tok.upper())
+                if pm is None:
+                    raise ValueError(
+                        f"{name} takes Pauli targets like X1 Y2 Z3, "
+                        f"got {tok!r}: {line!r}")
+                codes.append(_PAULI_CODE[pm.group(1)])
+                qubits.append(int(pm.group(2)))
+            if len(set(qubits)) != len(qubits):
+                raise ValueError(f"duplicate qubit in Pauli product: {line!r}")
+            if name == "ELSE_CORRELATED_ERROR":
+                prev = current_list()[-1].name if current_list() else None
+                if prev not in NOISE_CORRELATED:
+                    raise ValueError(
+                        "ELSE_CORRELATED_ERROR must immediately follow a "
+                        "CORRELATED_ERROR / ELSE_CORRELATED_ERROR in the "
+                        f"same block: {line!r}")
+            emit(name, arg, qubits,
+                 paulis=np.asarray(codes, dtype=np.uint8))
+            return
         if name in NOISE_MULTI_ARG:
             want = NOISE_MULTI_ARG[name]
             vals = [float(v) for v in argstr.split(",")] if argstr else []

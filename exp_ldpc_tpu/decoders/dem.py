@@ -9,6 +9,9 @@ component in the circuit becomes one candidate fault:
   * X/Y/Z_ERROR(p) on q   -> that Pauli, p
   * PAULI_CHANNEL_1(px,py,pz) on q -> X/Y/Z on q with their own priors
   * PAULI_CHANNEL_2(p1..p15) on a,b -> each two-qubit Pauli with its prior
+  * CORRELATED_ERROR / ELSE_CORRELATED_ERROR chain -> one fault per member
+    (the whole Pauli product), prior converted to the unconditional
+    p * prod_earlier(1 - p_j)
   * M*(p) measurement     -> flip of that record bit, p
 
 (the same independent-decomposition approximation stim's DEM uses for
@@ -64,8 +67,27 @@ def detector_error_model(circuit) -> DetectorErrorModel:
     priors: List[float] = []
 
     meas_base = 0
+    # running P(no earlier member of the current CORRELATED_ERROR chain
+    # fired): converts chain-conditional probabilities to unconditional
+    # fault priors (an ELSE with prob p fires unconditionally with
+    # p * prod_earlier(1 - p_j))
+    chain_comp = 1.0
     for k, op in enumerate(ops):
         t = op.targets
+        if op.name in ("CORRELATED_ERROR", "ELSE_CORRELATED_ERROR"):
+            p = float(op.arg or 0.0)
+            if op.name == "CORRELATED_ERROR":
+                chain_comp = 1.0
+            prior = p * chain_comp
+            chain_comp *= 1.0 - p
+            if prior:
+                paulis = np.asarray(op.paulis)
+                fault_x.append(t[(paulis == 1) | (paulis == 2)].tolist())
+                fault_z.append(t[(paulis == 2) | (paulis == 3)].tolist())
+                fault_meas.append(-1)
+                fault_op.append(k)
+                priors.append(prior)
+            continue
         if op.name in ("MZ", "MRZ", "MX", "MRX"):
             if op.arg:
                 for j in range(t.size):

@@ -190,6 +190,40 @@ def _apply_op(op_name, arg, targets, fx, fz, key):
     return fx, fz, rec
 
 
+def _apply_correlated(op, arg, fx, fz, chain, key):
+    """CORRELATED_ERROR / ELSE_CORRELATED_ERROR (stim chain semantics).
+
+    ``chain`` is the per-shot (1, S) uint8 plane marking shots where some
+    earlier member of the current chain already fired.  One Bernoulli draw
+    per shot gates the whole Pauli product; an ELSE additionally requires
+    the chain not to have fired.  Scatter-free like every other channel:
+    the fired row broadcasts to the product's X/Z target rows via the same
+    static mask/inv maps.
+    """
+    Q, S = fx.shape
+    draw = jax.random.bernoulli(jax.random.fold_in(key, 10), arg, (1, S)).astype(jnp.uint8)
+    if op.name == "ELSE_CORRELATED_ERROR":
+        fired = draw & (1 - chain)
+        chain = chain | fired
+    else:  # CORRELATED_ERROR starts a fresh chain
+        fired = draw
+        chain = fired
+    paulis = np.asarray(op.paulis)
+    t = np.asarray(op.targets, dtype=np.int64)
+    for plane, sel in ((0, (paulis == 1) | (paulis == 2)),
+                       (1, (paulis == 2) | (paulis == 3))):
+        tq = t[sel]
+        if tq.size == 0:
+            continue
+        mask, inv = _row_maps(Q, np.ascontiguousarray(tq).tobytes(), tq.size)
+        flip = _expand(mask, np.zeros(Q, dtype=np.int32), fired)
+        if plane == 0:
+            fx = fx ^ flip
+        else:
+            fz = fz ^ flip
+    return fx, fz, chain
+
+
 def _run_block(ops, fx, fz, record, key, rec_base, args):
     """Apply a compiled op block; record writes land at rec_base + op.meas_offset.
 
@@ -197,6 +231,7 @@ def _run_block(ops, fx, fz, record, key, rec_base, args):
     this block (traced scalars for the parametric sampler, floats otherwise).
     """
     ai = 0
+    chain = jnp.zeros((1, fx.shape[1]), dtype=jnp.uint8)
     for i, op in enumerate(ops):
         op_key = jax.random.fold_in(key, i)
         n = op.num_noise_args
@@ -208,6 +243,9 @@ def _run_block(ops, fx, fz, record, key, rec_base, args):
         else:
             arg = args[ai]
             ai += 1
+        if op.name in ("CORRELATED_ERROR", "ELSE_CORRELATED_ERROR"):
+            fx, fz, chain = _apply_correlated(op, arg, fx, fz, chain, op_key)
+            continue
         fx, fz, rec = _apply_op(op.name, arg, op.targets, fx, fz, op_key)
         if rec is not None:
             record = jax.lax.dynamic_update_slice(

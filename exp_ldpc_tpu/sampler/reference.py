@@ -65,6 +65,9 @@ class FrameSampler:
             return rng.integers(0, 2, size=size, dtype=np.uint8)
 
         meas_base = 0
+        # correlated-chain state: 1 where some member of the current
+        # CORRELATED_ERROR chain already fired for that shot
+        chain = np.zeros(shots, dtype=np.uint8)
         for op in c.flat_ops():
             t = op.targets
             name = op.name
@@ -121,6 +124,24 @@ class FrameSampler:
                 e = bern(op.arg, (shots, t.size))
                 fx[:, t] ^= e
                 fz[:, t] ^= e
+            elif name in ("CORRELATED_ERROR", "ELSE_CORRELATED_ERROR"):
+                # stim chain semantics: the whole Pauli product fires with
+                # prob p per shot; an ELSE only where nothing earlier in the
+                # chain fired (its Bernoulli draw is independent, then masked)
+                draw = bern(op.arg, shots)
+                if name == "CORRELATED_ERROR":
+                    fired = draw
+                    chain = fired.copy()
+                else:
+                    fired = draw & (1 - chain)
+                    chain |= fired
+                paulis = np.asarray(op.paulis)
+                xsel = (paulis == 1) | (paulis == 2)
+                zsel = (paulis == 2) | (paulis == 3)
+                if xsel.any():
+                    fx[:, t[xsel]] ^= fired[:, None]
+                if zsel.any():
+                    fz[:, t[zsel]] ^= fired[:, None]
             elif name == "PAULI_CHANNEL_1":
                 # one of X/Y/Z with DISJOINT probabilities (px, py, pz)
                 px, py, pz = (float(v) for v in op.args)

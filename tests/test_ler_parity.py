@@ -109,11 +109,19 @@ def test_flagship_fixed_seed_regression(small_code):
         ms_scaling_factor=0.625)
     failures, shots, unconv = pipe.run(jax.random.PRNGKey(42))
     assert shots == 2048
-    # measured 2026-08 (CPU backend, threefry PRNG): failures=1376,
+    # measured 2026-08 (CPU backend, threefry PRNG): failures=1583,
     # unconverged=1810; the band allows formulation-level reordering
-    # (+-4 sqrt) but not accuracy drift
-    EXPECTED_F = 1376
+    # (+-4 sqrt) but not accuracy drift.  Re-pinned from 1376 when the
+    # round-4 homological rewrite changed the (equally valid) logical
+    # representative basis: at this stress point 1810/2048 shots are
+    # BP-unconverged and hard-decisioned, and "any logical flipped" on a
+    # non-codeword residual is basis-dependent.  unconverged stayed 1810
+    # (sampler + decode chain untouched).
+    EXPECTED_F = 1583
+    EXPECTED_UNCONV = 1810
     assert abs(failures - EXPECTED_F) <= 4 * np.sqrt(EXPECTED_F), (
+        failures, unconv)
+    assert abs(unconv - EXPECTED_UNCONV) <= 4 * np.sqrt(EXPECTED_UNCONV), (
         failures, unconv)
 
 

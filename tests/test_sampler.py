@@ -219,11 +219,148 @@ def test_pauli_channel_dem_faults():
     assert dem2.fault_detectors.toarray()[:, 0].tolist() == [1, 1]
 
 
-def test_correlated_error_rejected_at_parse():
-    with pytest.raises(ValueError, match="CORRELATED_ERROR is not implemented"):
-        parse_circuit(["RZ 0", "CORRELATED_ERROR(0.1) X0 X1", "MZ 0"])
-    with pytest.raises(ValueError, match="not implemented"):
+# ---------- CORRELATED_ERROR / ELSE_CORRELATED_ERROR (round-4) ----------
+
+
+def test_correlated_error_hand_cases():
+    # p=1: the whole Pauli product fires — X flips MZ0, Y flips MZ1, Z doesn't
+    c = parse_circuit(["RZ 0 1 2", "CORRELATED_ERROR(1) X0 Y1 Z2", "MZ 0 1 2"])
+    rec = FrameSampler(c, seed=0).sample(16)
+    assert np.all(rec[:, 0] == 1) and np.all(rec[:, 1] == 1)
+    assert np.all(rec[:, 2] == 0)
+    # Z component observable in the X basis; E alias accepted
+    cz = parse_circuit(["RX 2", "E(1) Z2", "MX 2"])
+    assert np.all(FrameSampler(cz, seed=0).sample(16) == 1)
+    # ELSE after a fired chain never applies...
+    c2 = parse_circuit([
+        "RZ 0 1", "CORRELATED_ERROR(1) X0",
+        "ELSE_CORRELATED_ERROR(1) X1", "MZ 0 1"])
+    rec2 = FrameSampler(c2, seed=0).sample(16)
+    assert np.all(rec2[:, 0] == 1) and np.all(rec2[:, 1] == 0)
+    # ...and always applies when the chain did not fire
+    c3 = parse_circuit([
+        "RZ 0 1", "CORRELATED_ERROR(0) X0",
+        "ELSE_CORRELATED_ERROR(1) X1", "MZ 0 1"])
+    rec3 = FrameSampler(c3, seed=0).sample(16)
+    assert np.all(rec3[:, 0] == 0) and np.all(rec3[:, 1] == 1)
+    # a new CORRELATED_ERROR resets the chain
+    c4 = parse_circuit([
+        "RZ 0 1 2", "CORRELATED_ERROR(1) X0",
+        "CORRELATED_ERROR(0) X1",
+        "ELSE_CORRELATED_ERROR(1) X2", "MZ 0 1 2"])
+    rec4 = FrameSampler(c4, seed=0).sample(16)
+    assert np.all(rec4 == [[1, 0, 1]] * 16)
+
+
+def test_correlated_error_chain_marginals():
+    # P(1st)=p1, P(2nd)=(1-p1)p2, P(3rd)=(1-p1)(1-p2)p3
+    p1, p2, p3 = 0.3, 0.5, 1.0
+    c = parse_circuit([
+        "RZ 0 1 2",
+        f"CORRELATED_ERROR({p1}) X0",
+        f"ELSE_CORRELATED_ERROR({p2}) X1",
+        f"ELSE_CORRELATED_ERROR({p3}) X2",
+        "MZ 0 1 2"])
+    shots = 40000
+    rates = FrameSampler(c, seed=2).sample(shots).mean(axis=0)
+    want = np.array([p1, (1 - p1) * p2, (1 - p1) * (1 - p2) * p3])
+    sigma = np.sqrt(want * (1 - want) / shots)
+    assert np.all(np.abs(rates - want) < 5 * sigma + 1e-3)
+    # members are mutually exclusive per shot: at most one fires
+    rec = FrameSampler(c, seed=3).sample(4000)
+    assert np.all(rec.sum(axis=1) == 1)  # p3=1 -> exactly one always fires
+
+
+def test_correlated_error_device_oracle_parity():
+    lines = [
+        "RZ 0 1 2 3",
+        "CORRELATED_ERROR(0.2) X0 Y1",
+        "ELSE_CORRELATED_ERROR(0.4) X2 Z0",
+        "ELSE_CORRELATED_ERROR(0.3) Y3",
+        "TICK",
+        "CORRELATED_ERROR(0.1) Z2 X3",
+        "MZ 0 1 2 3",
+        "DETECTOR rec[-4]", "DETECTOR rec[-3]",
+        "DETECTOR rec[-2]", "DETECTOR rec[-1]",
+    ]
+    c = parse_circuit(lines)
+    shots = 8000
+    r_cpu = FrameSampler(c, seed=7).sample_detectors(shots).mean(axis=0)
+    ds = DeviceSampler(c, shots=shots)
+    r_dev = np.asarray(ds.sample_detectors(jax.random.PRNGKey(9))).mean(axis=0)
+    sigma = np.sqrt(np.maximum(r_cpu * (1 - r_cpu), 1e-4) / shots) * np.sqrt(2)
+    assert np.all(np.abs(r_cpu - r_dev) < 5 * sigma + 1e-3)
+
+
+def test_correlated_error_in_repeat_block():
+    # chains inside a REPEAT body lower through the device sampler's scan
+    lines = [
+        "RZ 0 1",
+        "REPEAT 3 {",
+        "CORRELATED_ERROR(0.25) X0 X1",
+        "ELSE_CORRELATED_ERROR(0.5) X0",
+        "MRZ 0 1",
+        "}",
+    ]
+    c = parse_circuit(lines)
+    shots = 6000
+    r_cpu = FrameSampler(c, seed=12).sample(shots).mean(axis=0)
+    r_dev = np.asarray(DeviceSampler(c, shots=shots)
+                       .sample(jax.random.PRNGKey(13))).mean(axis=0)
+    sigma = np.sqrt(np.maximum(r_cpu * (1 - r_cpu), 1e-4) / shots) * np.sqrt(2)
+    assert np.all(np.abs(r_cpu - r_dev) < 5 * sigma + 1e-3)
+
+
+def test_correlated_error_dem_chain_priors():
+    from exp_ldpc_tpu.decoders.dem import detector_error_model
+
+    p1, p2 = 0.1, 0.25
+    c = parse_circuit([
+        "RZ 0 1",
+        f"CORRELATED_ERROR({p1}) X0 X1",
+        f"ELSE_CORRELATED_ERROR({p2}) X1",
+        "MZ 0 1",
+        "DETECTOR rec[-2]", "DETECTOR rec[-1]",
+    ])
+    dem = detector_error_model(c)
+    assert dem.num_faults == 2
+    sigs = {tuple(dem.fault_detectors.toarray()[:, f]): dem.priors[f]
+            for f in range(2)}
+    assert abs(sigs[(1, 1)] - p1) < 1e-9  # the full product
+    assert abs(sigs[(0, 1)] - (1 - p1) * p2) < 1e-9  # chain-converted ELSE
+
+
+def test_correlated_error_parse_validation():
+    with pytest.raises(ValueError, match="must immediately follow"):
         parse_circuit(["RZ 0", "ELSE_CORRELATED_ERROR(0.1) X0", "MZ 0"])
+    with pytest.raises(ValueError, match="must immediately follow"):
+        # a TICK breaks the chain
+        parse_circuit(["RZ 0", "CORRELATED_ERROR(0.1) X0", "TICK",
+                       "ELSE_CORRELATED_ERROR(0.1) X0", "MZ 0"])
+    with pytest.raises(ValueError, match="Pauli targets"):
+        parse_circuit(["CORRELATED_ERROR(0.1) 0 1"])
+    with pytest.raises(ValueError, match="duplicate qubit"):
+        parse_circuit(["CORRELATED_ERROR(0.1) X0 Z0"])
+    with pytest.raises(ValueError, match="requires a probability"):
+        parse_circuit(["CORRELATED_ERROR X0"])
+
+
+def test_correlated_error_parametric_rebind():
+    def make(p):
+        return parse_circuit([
+            "RZ 0 1", f"CORRELATED_ERROR({p}) X0 X1", "MZ 0 1"])
+
+    c1, c2 = make(0.4), make(0.01)
+    assert c1.structure_signature() == c2.structure_signature()
+    # different Pauli products must NOT share an executable
+    c3 = parse_circuit(["RZ 0 1", "CORRELATED_ERROR(0.4) X0 Z1", "MZ 0 1"])
+    assert c3.structure_signature() != c1.structure_signature()
+    shots = 4096
+    d1, d2 = DeviceSampler(c1, shots=shots), DeviceSampler(c2, shots=shots)
+    assert d1._sample_parametric is d2._sample_parametric
+    r1 = np.asarray(d1.sample(jax.random.PRNGKey(0))).mean()
+    r2 = np.asarray(d2.sample(jax.random.PRNGKey(0))).mean()
+    assert r1 > 0.3 and r2 < 0.05
 
 
 def test_pauli_channel_arity_validated():
@@ -249,3 +386,31 @@ def test_pauli_channel_parametric_rebind(small_code):
     r1 = np.asarray(d1.sample(jax.random.PRNGKey(0))).mean()
     r2 = np.asarray(d2.sample(jax.random.PRNGKey(0))).mean()
     assert r1 > 0.2 and r2 < 0.05  # probabilities rebound at runtime
+
+
+def test_correlated_error_user_noise_rewriter(small_code):
+    """A user NoiseRewriter emitting CORRELATED_ERROR chains flows through
+    build_storage_simulation into BOTH samplers (the combinator API's
+    advertised vocabulary is honest end-to-end)."""
+    from exp_ldpc_tpu.core import NoiseRewriter
+
+    def rewrite(targets, lines):
+        out = []
+        for line in lines:
+            out.append(line)
+            if line.startswith(("MRZ", "MRX")):
+                d = targets.data[:3]
+                out.append(f"CORRELATED_ERROR(0.02) X{d[0]} X{d[1]}")
+                out.append(f"ELSE_CORRELATED_ERROR(0.05) Z{d[2]}")
+        return out
+
+    sim = build_storage_simulation(
+        2, NoiseRewriter(rewrite), small_code, use_x_logicals=False)
+    c = parse_circuit(sim.circuit)
+    shots = 4000
+    r_cpu = FrameSampler(c, seed=21).sample_detectors(shots).mean(axis=0)
+    ds = DeviceSampler(c, shots=shots)
+    r_dev = np.asarray(ds.sample_detectors(jax.random.PRNGKey(22))).mean(axis=0)
+    assert r_cpu.sum() > 0  # the injected noise is actually observable
+    sigma = np.sqrt(np.maximum(r_cpu * (1 - r_cpu), 1e-4) / shots) * np.sqrt(2)
+    assert np.all(np.abs(r_cpu - r_dev) < 5 * sigma + 1e-3)
