@@ -1,0 +1,521 @@
+"""Check-partition (model-parallel) BP on the BSR tile kernel.
+
+Round-3 verdict item 1: the declared path past the single-chip large-code
+wall (``docs/DESIGN.md`` §12 — the VPU check-update wall at ~4.8M
+iter·shots/s for n≈5k+) is check-partition sharding, but it previously ran
+only on the slow gather formulation (~35x below BSR).  This module shards
+the PRODUCTION BSR tile kernel itself over ``MODEL_AXIS``.
+
+Design (TPU/SPMD constraints drive everything):
+
+  * The check chunks (128 rows each) are partitioned contiguously over D
+    shards; each shard owns the syndrome rows, the c2v/v2c message planes
+    and the tile schedule of its own checks, over the GLOBAL variable
+    space.
+  * One BP iteration factors at the posterior: given the replicated
+    posterior, everything else is local.  Each iteration is ONE Pallas
+    call per shard — routed broadcast (v2c = onehot·posterior − c2v),
+    min-sum/sum-product check update, and the edge→variable partial
+    totals — followed by ONE ``psum`` of the (V_pad, S) partials over
+    ``MODEL_AXIS`` (the only cross-shard traffic: 4·V_pad·S bytes/iter
+    riding ICI).  The messages stay in HBM between calls; VMEM residency
+    is per-call (the all-iterations-resident fused kernel cannot span
+    chips — collectives cannot run inside a Mosaic kernel).
+  * ``shard_map`` compiles ONE SPMD program, but BSR kernels are
+    schedule-STATIC and every shard's schedule differs.  Resolution: the
+    program embeds all D per-shard kernels and selects with
+    ``lax.switch(axis_index(MODEL_AXIS))`` — every device compiles all D
+    kernels (Mosaic compile time is superlinear in tile count, so D small
+    kernels compile FASTER than one big one) but executes only its own.
+
+Numerics: within a shard the slot/tile accumulation order matches the
+unsharded kernel exactly (same bf16 rounding points); across shards the
+partial-total summation associates differently ((prior + Σ_d partial_d)
+vs the unsharded incremental fold), so posteriors agree to f32 ULP
+accumulation, not bit-for-bit — hard decisions and convergence flags are
+asserted identical on every tested code (``tests/test_bp_bsr_shard.py``),
+matching the validation contract of ``parallel/check_shard.py``.
+
+Reference frame: the reference has no model parallelism at all (its only
+strategy is a CPU process pool over shots,
+``/root/reference/python/qldpc/misc/p_sweep.py:18-29``); SURVEY.md §2.4
+row 2 and BASELINE.json scaling config 3 define this capability.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from scipy import sparse
+
+from .bp import priors_to_llr
+from .bp_bsr import (
+    _BIG,
+    _TILE,
+    _build_schedule,
+    _phi,
+    _round_up,
+    BSRSchedule,
+)
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+from ..utils.compile_cache import enable_compilation_cache
+
+import jax.experimental.pallas as pl
+import jax.experimental.pallas.tpu as pltpu
+
+__all__ = ["ShardedBSR", "ShardedBSRDecoder", "bsr_shard_iter"]
+
+
+@dataclass(frozen=True, eq=False)  # identity hash: _build_schedule cache key
+class _ShardTanner:
+    """Duck-typed stand-in for TannerELL carrying exactly the fields
+    ``bp_bsr._build_schedule`` reads, with a FORCED uniform check degree and
+    check count so every shard's schedule has identical array shapes."""
+
+    num_checks: int
+    num_vars: int
+    max_check_degree: int
+    chk_vars: np.ndarray
+    chk_mask: np.ndarray
+
+
+@dataclass(frozen=True, eq=False)
+class ShardedBSR:
+    """Host-side build product: one BSR schedule per check shard."""
+
+    num_checks: int
+    num_vars: int
+    num_shards: int
+    c_pad_loc: int  # padded checks per shard (multiple of 128, uniform)
+    dc: int
+    shards: Tuple[BSRSchedule, ...]
+    # per-shard parity tables for the final syndrome validation
+    chk_vars: np.ndarray  # (D, c_pad_loc, Dc) int32
+    chk_mask: np.ndarray  # (D, c_pad_loc, Dc) bool
+
+    @property
+    def v_pad(self) -> int:
+        return self.shards[0].v_pad
+
+    @property
+    def e_loc(self) -> int:
+        return self.dc * self.c_pad_loc
+
+    @classmethod
+    def from_check_matrix(cls, H, num_shards: int) -> "ShardedBSR":
+        H = sparse.csr_matrix(H).copy()
+        H.data = H.data % 2
+        H.eliminate_zeros()
+        H.sort_indices()
+        C, V = H.shape
+        D = int(num_shards)
+        n_cc = _round_up(C, _TILE) // _TILE
+        n_cc_loc = -(-n_cc // D)
+        c_pad_loc = n_cc_loc * _TILE
+        Dc = int(max((H.indptr[i + 1] - H.indptr[i] for i in range(C)),
+                     default=1))
+
+        chk_vars = np.zeros((D, c_pad_loc, Dc), dtype=np.int32)
+        chk_mask = np.zeros((D, c_pad_loc, Dc), dtype=bool)
+        for c in range(C):
+            d, cl = divmod(c, c_pad_loc)
+            row = H.indices[H.indptr[c]:H.indptr[c + 1]]
+            chk_vars[d, cl, :len(row)] = row
+            chk_mask[d, cl, :len(row)] = True
+
+        shards = tuple(
+            BSRSchedule.from_tanner(_ShardTanner(
+                num_checks=c_pad_loc, num_vars=V, max_check_degree=Dc,
+                chk_vars=chk_vars[d], chk_mask=chk_mask[d]))
+            for d in range(D)
+        )
+        assert all(s.c_pad == c_pad_loc and s.v_pad == shards[0].v_pad
+                   for s in shards)
+        return cls(num_checks=C, num_vars=V, num_shards=D,
+                   c_pad_loc=c_pad_loc, dc=Dc, shards=shards,
+                   chk_vars=chk_vars, chk_mask=chk_mask)
+
+
+def _kernel_iter(post_ref, msg_in_ref, synd_ref, mask_t_ref, idx_ref,
+                 alpha_ref, msg_out_ref, part_ref, oh_ref,
+                 *, sched: BSRSchedule, method: str):
+    """One flooding iteration for one shard, one shot block.
+
+    Math and per-plane scan order are identical to the fixed-iteration
+    branch of ``bp_bsr._kernel`` (same bf16 rounding points):
+
+      1. routed broadcast: v2c = (mask + Σ onehot·posterior_bf16) − c2v
+      2. check update (two-pass min/sign scan or sum-product) in place
+      3. partial variable totals: Σ onehot·c2v per variable tile (NO prior
+         — the prior is added once globally after the cross-shard psum)
+
+    The one-hot routing tiles are rebuilt into VMEM scratch on the first
+    grid step of every call (the scratch does not survive across calls);
+    at ≤ a few hundred tiles per shard this is a few M VPU ops per
+    iteration, far below the dot budget.
+    """
+    C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
+    n_cc = C_pad // _TILE
+    S = post_ref.shape[1]
+    f32 = jnp.float32
+    skip_dead = method == "ms"
+
+    @pl.when(pl.program_id(0) == 0)
+    def _build_onehots():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+        for t in range(sched.num_tiles):
+            oh_ref[t * _TILE:(t + 1) * _TILE, :] = (
+                rows == idx_ref[t:t + 1, :]).astype(jnp.bfloat16)
+
+    def onehot(t):
+        return oh_ref[t * _TILE:(t + 1) * _TILE, :]
+
+    def erows(i):
+        return slice(i * _TILE, (i + 1) * _TILE)
+
+    alpha = alpha_ref[0]
+
+    # ---- 1. routed broadcast: v2c = routed(posterior) - c2v
+    for et, pairs in enumerate(sched.sched_g):
+        if skip_dead and not pairs:
+            # dead plane: no edges anywhere in it; pin to +BIG so the
+            # (skipped) check scan semantics match the resident kernel
+            msg_out_ref[erows(et), :] = jnp.full((_TILE, S), _BIG,
+                                                 jnp.bfloat16)
+            continue
+        acc = jnp.broadcast_to(mask_t_ref[:, et:et + 1], (_TILE, S))
+        for vt, t in pairs:
+            pb = post_ref[vt * _TILE:(vt + 1) * _TILE, :].astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                onehot(t), pb, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        vb = acc - msg_in_ref[erows(et), :].astype(f32)
+        msg_out_ref[erows(et), :] = vb.astype(jnp.bfloat16)
+
+    # ---- 2. check update in place on msg_out (v2c -> c2v)
+    for cc in range(n_cc):
+        synd_sign = 1.0 - 2.0 * synd_ref[cc * _TILE:(cc + 1) * _TILE, :].astype(f32)
+
+        def plane(s):
+            return msg_out_ref[erows(s * n_cc + cc), :].astype(f32)
+
+        def store(s, val):
+            msg_out_ref[erows(s * n_cc + cc), :] = val.astype(jnp.bfloat16)
+
+        if method == "ps":
+            total_sign = synd_sign
+            total = jnp.zeros_like(synd_sign)
+            for s in range(Dc):
+                p = plane(s)
+                total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
+                total = total + _phi(jnp.abs(p))
+            for s in range(Dc):
+                p = plane(s)
+                store(s, total_sign * jnp.where(p < 0, -1.0, 1.0)
+                      * _phi(total - _phi(jnp.abs(p))))
+        else:
+            n_s = sched.live_slots[cc] if skip_dead else Dc
+            if n_s == 0:
+                continue
+            total_sign = synd_sign
+            p = plane(0)
+            total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
+            min1 = jnp.abs(p)
+            min2 = jnp.full_like(min1, _BIG)
+            arg = jnp.zeros_like(min1)
+            for s in range(1, n_s):
+                p = plane(s)
+                total_sign = total_sign * jnp.where(p < 0, -1.0, 1.0)
+                m = jnp.abs(p)
+                lt = m < min1
+                min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+                arg = jnp.where(lt, float(s), arg)
+                min1 = jnp.where(lt, m, min1)
+            for s in range(n_s):
+                p = plane(s)
+                store(s, total_sign * jnp.where(p < 0, -1.0, 1.0)
+                      * jnp.where(arg == float(s), min2, min1) * alpha)
+
+    # ---- 3. partial variable totals (prior added after the psum)
+    for vt, pairs in enumerate(sched.sched_m):
+        tot = jnp.zeros((_TILE, S), f32)
+        for et, t in pairs:
+            tot = tot + jnp.dot(onehot(t), msg_out_ref[erows(et), :],
+                                preferred_element_type=f32)
+        part_ref[vt * _TILE:(vt + 1) * _TILE, :] = tot
+
+
+@partial(jax.jit, static_argnames=("sched", "method", "shot_block",
+                                   "interpret"))
+def bsr_shard_iter(sched: BSRSchedule, posterior, messages, syndromes,
+                   alpha, method: str = "ms", shot_block: int = 128,
+                   interpret: bool = False):
+    """One sharded-BSR iteration on one shard's data.
+
+    posterior (V_pad, S) f32 [replicated], messages (e_loc, S) bf16 (c2v of
+    the previous iteration; zeros on iteration 0), syndromes (c_pad_loc, S)
+    bf16/uint8, alpha () f32 -> (messages' bf16, partials (V_pad, S) f32).
+    """
+    enable_compilation_cache()
+    S = posterior.shape[1]
+    assert S % shot_block == 0, (S, shot_block)
+    grid = (S // shot_block,)
+    blk = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, shot_block), lambda s: (0, s), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+
+    kernel = partial(_kernel_iter, sched=sched, method=method)
+    msg_out, part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk(sched.v_pad),
+            blk(sched.e_pad),
+            blk(sched.c_pad),
+            full(sched.mask_t.shape),
+            full(sched.idx.shape),
+            smem((1,)),
+        ],
+        out_specs=[blk(sched.e_pad), blk(sched.v_pad)],
+        out_shape=[
+            jax.ShapeDtypeStruct((sched.e_pad, S), jnp.bfloat16),
+            jax.ShapeDtypeStruct((sched.v_pad, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 2**20) if not interpret else None,
+        interpret=interpret,
+    )(posterior, messages, syndromes.astype(jnp.bfloat16),
+      jnp.asarray(sched.mask_t), jnp.asarray(sched.idx),
+      jnp.asarray(alpha, jnp.float32).reshape(1))
+    return msg_out, part
+
+
+def _auto_shot_block_shard(sb: ShardedBSR, S_loc: int) -> int:
+    """Largest {128, 256} block whose per-call VMEM residency (posterior +
+    partials f32, messages in+out bf16, one-hot scratch, temporaries) fits
+    the same 56 MiB calibration margin as ``bp_bsr._auto_shot_block``."""
+    max_tiles = max(s.num_tiles for s in sb.shards)
+    for blk in (256, 128):
+        if S_loc % blk:
+            continue
+        state = 8 * sb.v_pad * blk          # posterior + partials f32
+        msg = 2 * 2 * sb.e_loc * blk        # messages in + out bf16
+        oh = max_tiles * _TILE * _TILE * 2
+        temps = 4 * 8 * _TILE * blk
+        if state + msg + oh + temps < 56 * 2**20:
+            return blk
+    return 128
+
+
+@dataclass(eq=False)
+class ShardedBSRDecoder:
+    """Batched BP with checks sharded over MODEL_AXIS on the BSR kernel.
+
+    ``decode_batch`` accepts (S, C) uint8 syndromes on the host and returns
+    (S, V) hard decisions, (S, V) posteriors, (S,) convergence flags — the
+    :class:`~exp_ldpc_tpu.decoders.bp.BPDecoder` contract.  Fixed-iteration
+    flooding only (the per-iteration psum makes a global early-exit test as
+    expensive as the iteration itself); convergence is evaluated once at
+    the end, like the production pipelines (``early_stop=False``).
+
+    With ``mesh=None`` the decoder runs all D shards SEQUENTIALLY on one
+    device ("emulation mode"): bit-identical program structure with the
+    psum replaced by an in-order partial sum — used to measure per-shard
+    kernel cost on a single real chip and to cross-validate the shard_map
+    path.
+    """
+
+    sharded: ShardedBSR
+    prior_llr: np.ndarray
+    mesh: Optional[Mesh] = None
+    method: str = "ms"
+    max_iter: int = 32
+    ms_scaling_factor: float = 0.0
+    shot_block: Optional[int] = None
+    interpret: bool = False
+
+    def __post_init__(self):
+        method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
+        if method is None:
+            raise ValueError(f"unknown bp method {self.method!r}")
+        self.method = method
+        if self.mesh is not None and \
+                self.mesh.shape[MODEL_AXIS] != self.sharded.num_shards:
+            raise ValueError(
+                f"built for {self.sharded.num_shards} shards but mesh model "
+                f"axis is {self.mesh.shape[MODEL_AXIS]}")
+        self._decode = None  # built lazily per shot shape
+
+    @classmethod
+    def from_check_matrix(cls, H, num_shards: int, *, mesh: Optional[Mesh] = None,
+                          error_rate: Optional[float] = None,
+                          channel_probs: Optional[np.ndarray] = None,
+                          max_iter: int = 32, bp_method: str = "ms",
+                          ms_scaling_factor: float = 0.0,
+                          shot_block: Optional[int] = None,
+                          interpret: bool = False, **_ignored):
+        sb = ShardedBSR.from_check_matrix(H, num_shards)
+        if channel_probs is not None:
+            prior = np.asarray(channel_probs, dtype=np.float64)
+        elif error_rate is not None:
+            prior = np.full(sb.num_vars, error_rate, dtype=np.float64)
+        else:
+            raise ValueError("must supply error_rate or channel_probs")
+        return cls(sharded=sb, prior_llr=priors_to_llr(prior), mesh=mesh,
+                   method=bp_method, max_iter=max_iter,
+                   ms_scaling_factor=float(ms_scaling_factor),
+                   shot_block=shot_block, interpret=interpret)
+
+    # ---- shared pieces ---------------------------------------------------
+
+    def _alpha(self, it):
+        if float(self.ms_scaling_factor) == 0.0:
+            return 1.0 - 2.0 ** (-(it + 1).astype(jnp.float32))
+        return jnp.float32(self.ms_scaling_factor)
+
+    def _prior_pad(self):
+        sb = self.sharded
+        return jnp.asarray(np.pad(
+            np.asarray(self.prior_llr, np.float32),
+            (0, sb.v_pad - sb.num_vars)))
+
+    def _iter_branches(self, shot_block):
+        sb = self.sharded
+        return [
+            partial(bsr_shard_iter, sched, method=self.method,
+                    shot_block=shot_block, interpret=self.interpret)
+            for sched in sb.shards
+        ]
+
+    # ---- shard_map (multi-device) path ------------------------------------
+
+    def _build_sharded(self, S_loc: int):
+        sb = self.sharded
+        sblk = self.shot_block or _auto_shot_block_shard(sb, S_loc)
+        branches = self._iter_branches(sblk)
+        prior = self._prior_pad()
+        max_iter = self.max_iter
+        V_pad = sb.v_pad
+
+        def per_device(synd_loc, chk_vars, chk_mask):
+            synd_loc = synd_loc[0] if synd_loc.ndim == 3 else synd_loc
+            chk_vars = chk_vars[0]
+            mask3 = chk_mask[0][:, :, None]
+            my = jax.lax.axis_index(MODEL_AXIS)
+            S = synd_loc.shape[1]
+            post0 = jnp.broadcast_to(prior[:, None], (V_pad, S))
+            msg0 = jnp.zeros((sb.e_loc, S), jnp.bfloat16)
+
+            def body(it, carry):
+                msg, post = carry
+                alpha = self._alpha(it)
+                msg, part = jax.lax.switch(
+                    my, branches, post, msg, synd_loc, alpha)
+                tot = jax.lax.psum(part, MODEL_AXIS)
+                return msg, prior[:, None] + tot
+
+            _msg, post = jax.lax.fori_loop(
+                0, max_iter, body, (msg0, post0))
+            hard = (post <= 0).astype(jnp.uint8)
+            # final syndrome validation: local parity + one scalar psum
+            bits = jnp.where(mask3, hard[chk_vars], 0).astype(jnp.int32)
+            par = jnp.sum(bits, axis=1) % 2  # (c_pad_loc, S)
+            bad = jnp.sum(jnp.abs(par - synd_loc.astype(jnp.int32)), axis=0)
+            conv = jax.lax.psum(bad, MODEL_AXIS) == 0
+            return hard, post, conv
+
+        mapped = jax.shard_map(
+            per_device,
+            mesh=self.mesh,
+            in_specs=(P(MODEL_AXIS, DATA_AXIS), P(MODEL_AXIS), P(MODEL_AXIS)),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+        jitted = jax.jit(mapped)
+        chk_vars = jnp.asarray(sb.chk_vars)
+        chk_mask = jnp.asarray(sb.chk_mask)
+        return lambda synd: jitted(synd, chk_vars, chk_mask)
+
+    # ---- single-device emulation path --------------------------------------
+
+    def _build_emulated(self, S: int):
+        """All D shards sequential on one device: same kernels, psum replaced
+        by an in-order partial sum.  Measurement/validation harness."""
+        sb = self.sharded
+        sblk = self.shot_block or _auto_shot_block_shard(sb, S)
+        branches = self._iter_branches(sblk)
+        prior = self._prior_pad()
+        D, V_pad = sb.num_shards, sb.v_pad
+        max_iter = self.max_iter
+        chk_vars = jnp.asarray(sb.chk_vars)
+        mask3 = jnp.asarray(sb.chk_mask)[:, :, :, None]
+
+        @jax.jit
+        def run(synd):  # synd (D, c_pad_loc, S)
+            post0 = jnp.broadcast_to(prior[:, None], (V_pad, S))
+            msgs0 = tuple(jnp.zeros((sb.e_loc, S), jnp.bfloat16)
+                          for _ in range(D))
+
+            def body(it, carry):
+                msgs, post = carry
+                alpha = self._alpha(it)
+                tot = jnp.zeros((V_pad, S), jnp.float32)
+                out_msgs = []
+                for d in range(D):
+                    m, part = branches[d](post, msgs[d], synd[d], alpha)
+                    out_msgs.append(m)
+                    tot = tot + part
+                return tuple(out_msgs), prior[:, None] + tot
+
+            _msgs, post = jax.lax.fori_loop(
+                0, max_iter, body, (msgs0, post0))
+            hard = (post <= 0).astype(jnp.uint8)
+            bits = jnp.where(mask3, hard[chk_vars], 0).astype(jnp.int32)
+            par = jnp.sum(bits, axis=2) % 2  # (D, c_pad_loc, S)
+            bad = jnp.sum(jnp.abs(par - synd.astype(jnp.int32)), axis=(0, 1))
+            return hard, post, bad == 0
+
+        return run
+
+    # ---- host contract ------------------------------------------------------
+
+    def decode_batch(self, syndromes: np.ndarray):
+        sb = self.sharded
+        syndromes = np.asarray(syndromes, dtype=np.uint8)
+        S, C = syndromes.shape
+        assert C == sb.num_checks
+        if self.mesh is not None:
+            n_data = self.mesh.shape[DATA_AXIS]
+        else:
+            n_data = 1
+        blk = self.shot_block or 128
+        S_pad = _round_up(S, n_data * blk)
+        S_loc = S_pad // n_data
+
+        if self._decode is None or self._decode[0] != S_pad:
+            fn = (self._build_sharded(S_loc) if self.mesh is not None
+                  else self._build_emulated(S_pad))
+            self._decode = (S_pad, fn)
+
+        if self.mesh is not None:
+            synd = np.zeros((sb.num_shards * sb.c_pad_loc, S_pad), np.uint8)
+            synd[:C, :S] = syndromes.T
+        else:
+            flat = np.zeros((sb.num_shards * sb.c_pad_loc, S_pad), np.uint8)
+            flat[:C, :S] = syndromes.T
+            synd = flat.reshape(sb.num_shards, sb.c_pad_loc, S_pad)
+        hard, post, conv = self._decode[1](jnp.asarray(synd))
+        V = sb.num_vars
+        return (np.asarray(hard)[:V].T[:S], np.asarray(post)[:V].T[:S],
+                np.asarray(conv)[:S])
