@@ -2,6 +2,7 @@
 OSD post-processing, spacetime/DEM matrix builders, and decode-mode drivers.
 """
 from .bp import BPDecoder, bp_decode_batch, priors_to_llr
+from .bp_bsr_shard import ShardedBSR, ShardedBSRDecoder
 from .bp_int8 import Int8BPDecoder
 from .bposd import BPOSDDecoder
 from .flip import FlipDecoder, SmallSetFlipDecoder
@@ -15,6 +16,8 @@ from .tanner import TannerELL
 
 __all__ = [
     "BPDecoder",
+    "ShardedBSR",
+    "ShardedBSRDecoder",
     "Int8BPDecoder",
     "BPOSDDecoder",
     "FlipDecoder",

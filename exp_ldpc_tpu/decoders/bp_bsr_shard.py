@@ -405,10 +405,9 @@ class ShardedBSRDecoder:
         sblk = self.shot_block or _auto_shot_block_shard(sb, S_loc)
         branches = self._iter_branches(sblk)
         prior = self._prior_pad()
-        max_iter = self.max_iter
         V_pad = sb.v_pad
 
-        def per_device(synd_loc, chk_vars, chk_mask):
+        def per_device(synd_loc, chk_vars, chk_mask, n_iter):
             synd_loc = synd_loc[0] if synd_loc.ndim == 3 else synd_loc
             chk_vars = chk_vars[0]
             mask3 = chk_mask[0][:, :, None]
@@ -425,8 +424,11 @@ class ShardedBSRDecoder:
                 tot = jax.lax.psum(part, MODEL_AXIS)
                 return msg, prior[:, None] + tot
 
+            # traced loop bound: one compiled program serves every
+            # iteration budget (compiles through this tunnel are the
+            # expensive resource, see CLAUDE.md)
             _msg, post = jax.lax.fori_loop(
-                0, max_iter, body, (msg0, post0))
+                0, n_iter, body, (msg0, post0))
             hard = (post <= 0).astype(jnp.uint8)
             # final syndrome validation: local parity + one scalar psum
             bits = jnp.where(mask3, hard[chk_vars], 0).astype(jnp.int32)
@@ -438,14 +440,16 @@ class ShardedBSRDecoder:
         mapped = jax.shard_map(
             per_device,
             mesh=self.mesh,
-            in_specs=(P(MODEL_AXIS, DATA_AXIS), P(MODEL_AXIS), P(MODEL_AXIS)),
+            in_specs=(P(MODEL_AXIS, DATA_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
+                      P()),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS), P(DATA_AXIS)),
             check_vma=False,
         )
         jitted = jax.jit(mapped)
         chk_vars = jnp.asarray(sb.chk_vars)
         chk_mask = jnp.asarray(sb.chk_mask)
-        return lambda synd: jitted(synd, chk_vars, chk_mask)
+        return lambda synd, n_iter: jitted(
+            synd, chk_vars, chk_mask, jnp.int32(n_iter))
 
     # ---- single-device emulation path --------------------------------------
 
@@ -457,12 +461,11 @@ class ShardedBSRDecoder:
         branches = self._iter_branches(sblk)
         prior = self._prior_pad()
         D, V_pad = sb.num_shards, sb.v_pad
-        max_iter = self.max_iter
         chk_vars = jnp.asarray(sb.chk_vars)
         mask3 = jnp.asarray(sb.chk_mask)[:, :, :, None]
 
         @jax.jit
-        def run(synd):  # synd (D, c_pad_loc, S)
+        def run(synd, n_iter):  # synd (D, c_pad_loc, S)
             post0 = jnp.broadcast_to(prior[:, None], (V_pad, S))
             msgs0 = tuple(jnp.zeros((sb.e_loc, S), jnp.bfloat16)
                           for _ in range(D))
@@ -479,7 +482,7 @@ class ShardedBSRDecoder:
                 return tuple(out_msgs), prior[:, None] + tot
 
             _msgs, post = jax.lax.fori_loop(
-                0, max_iter, body, (msgs0, post0))
+                0, n_iter, body, (msgs0, post0))
             hard = (post <= 0).astype(jnp.uint8)
             bits = jnp.where(mask3, hard[chk_vars], 0).astype(jnp.int32)
             par = jnp.sum(bits, axis=2) % 2  # (D, c_pad_loc, S)
@@ -490,7 +493,11 @@ class ShardedBSRDecoder:
 
     # ---- host contract ------------------------------------------------------
 
-    def decode_batch(self, syndromes: np.ndarray):
+    def decode_batch(self, syndromes: np.ndarray,
+                     max_iter: Optional[int] = None):
+        """``max_iter`` overrides the instance budget per call without
+        recompiling (the iteration count is a traced loop bound)."""
+        n_iter = self.max_iter if max_iter is None else int(max_iter)
         sb = self.sharded
         syndromes = np.asarray(syndromes, dtype=np.uint8)
         S, C = syndromes.shape
@@ -515,7 +522,7 @@ class ShardedBSRDecoder:
             flat = np.zeros((sb.num_shards * sb.c_pad_loc, S_pad), np.uint8)
             flat[:C, :S] = syndromes.T
             synd = flat.reshape(sb.num_shards, sb.c_pad_loc, S_pad)
-        hard, post, conv = self._decode[1](jnp.asarray(synd))
+        hard, post, conv = self._decode[1](jnp.asarray(synd), n_iter)
         V = sb.num_vars
         return (np.asarray(hard)[:V].T[:S], np.asarray(post)[:V].T[:S],
                 np.asarray(conv)[:S])
