@@ -54,27 +54,31 @@ def build_code(name):
     raise ValueError(name)
 
 
-def slope_time(run, make_input, iters_lo, iters_hi, nrep=3):
-    """Median-of-min slope per iteration with distinct inputs per repeat."""
-    los = [make_input() for _ in range(nrep)]
-    his = [make_input() for _ in range(nrep)]
-    t0 = time.perf_counter()
-    run(iters_lo, los[0])
-    compile_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(iters_hi, his[0])
-    compile_hi = time.perf_counter() - t0
+def slope_time(run_many, make_batch, reps_lo, reps_hi, nrep=3):
+    """Per-decode slope over on-device repeat counts (bench_large_codes
+    methodology): `run_many(ss)` scans the leading axis of ``ss`` on device
+    in ONE dispatch, so the fixed tunnel overhead (~30-100 ms/call) cancels
+    in (T_hi - T_lo)/(reps_hi - reps_lo).  Distinct inputs per sample —
+    the remote backend deduplicates identical dispatches (CLAUDE.md)."""
+    import jax
 
-    def best(iters, xs):
+    los = [jax.device_put(make_batch(reps_lo)) for _ in range(nrep)]
+    his = [jax.device_put(make_batch(reps_hi)) for _ in range(nrep)]
+    t0 = time.perf_counter()
+    run_many(los[0])
+    compile_s = time.perf_counter() - t0
+    run_many(his[0])
+
+    def best(xs):
         b = np.inf
         for x in xs:
             t0 = time.perf_counter()
-            run(iters, x)
+            run_many(x)
             b = min(b, time.perf_counter() - t0)
         return b
 
-    t_lo, t_hi = best(iters_lo, los), best(iters_hi, his)
-    return (t_hi - t_lo) / (iters_hi - iters_lo), compile_lo + compile_hi
+    t_lo, t_hi = best(los), best(his)
+    return (t_hi - t_lo) / (reps_hi - reps_lo), compile_s
 
 
 def main():
@@ -82,14 +86,16 @@ def main():
     ap.add_argument("--code", default="hgp625")
     ap.add_argument("--shards", default="1,2")
     ap.add_argument("--shots", type=int, default=1024)
-    ap.add_argument("--iters-lo", type=int, default=8)
-    ap.add_argument("--iters-hi", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--reps-lo", type=int, default=4)
+    ap.add_argument("--reps-hi", type=int, default=16)
     ap.add_argument("--p", type=float, default=1e-3)
     ap.add_argument("--skip-fused", action="store_true")
     ap.add_argument("--write", action="store_true",
                     help="append to artifacts/bsr_shard_v5e.jsonl")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     from scipy import sparse
 
@@ -105,10 +111,12 @@ def main():
     C, V = Hs.shape
     rng = np.random.default_rng(0)
     S = args.shots
+    iters = args.iters
 
-    def synd_np():
-        err = (rng.random((S, V)) < args.p).astype(np.uint8)
-        return ((Hs @ err.T) % 2).astype(np.uint8).T  # (S, C)
+    def synds(R, shape_fn):
+        err = (rng.random((R * S, V)) < args.p).astype(np.uint8)
+        st = (Hs @ err.T % 2).astype(np.uint8)  # (C, R*S)
+        return shape_fn(st.reshape(C, R, S))
 
     recs = []
 
@@ -119,19 +127,25 @@ def main():
         prior = jnp.asarray(priors_to_llr(np.full(V, args.p)))
         sblk = _auto_shot_block(sched)
 
-        def run_fused(iters, synd_dev):
-            h, _p, c, _i = bsr_bp_decode(
-                sched, prior, synd_dev, "ms", iters, 0.625, False, sblk)
-            c.block_until_ready()
+        @jax.jit
+        def run_fused_many(ss):  # (R, C, S)
+            def step(carry, synd):
+                _h, _p, c, _i = bsr_bp_decode(
+                    sched, prior, synd, "ms", iters, 0.625, False, sblk)
+                return carry + c.sum(), None
+            tot, _ = jax.lax.scan(step, jnp.int32(0), ss)
+            return tot
 
-        per_iter, compile_s = slope_time(
-            run_fused, lambda: jnp.asarray(synd_np().T), args.iters_lo,
-            args.iters_hi)
+        per_decode, compile_s = slope_time(
+            lambda ss: np.asarray(run_fused_many(ss)),
+            lambda R: synds(R, lambda st: st.transpose(1, 0, 2)),
+            args.reps_lo, args.reps_hi)
         rec = {
             "code": args.code, "n": V, "checks": C, "config": "fused",
-            "tiles": sched.num_tiles, "shots": S, "shot_block": sblk,
-            "per_iter_s": per_iter,
-            "iter_shots_per_s": S / per_iter,
+            "tiles": sched.num_tiles, "shots": S, "iters": iters,
+            "shot_block": sblk,
+            "per_iter_s": per_decode / iters,
+            "iter_shots_per_s": iters * S / per_decode,
             "compile_s": compile_s,
         }
         print(json.dumps(rec), flush=True)
@@ -148,15 +162,29 @@ def main():
         sblk = _auto_shot_block_shard(sb, S)
         dec = ShardedBSRDecoder(
             sharded=sb, prior_llr=prior_llr, method="ms",
-            max_iter=args.iters_hi, shot_block=sblk)
+            max_iter=iters, shot_block=sblk)
+        run1 = dec._build_emulated(S)
 
-        def run_shard(iters, synd, dec=dec):
-            # one compiled program serves every budget (traced loop bound)
-            _h, _p, c = dec.decode_batch(synd, max_iter=iters)
-            np.asarray(c)
+        @jax.jit
+        def run_shard_many(ss, run1=run1):  # (R, D, c_pad_loc, S)
+            def step(carry, synd):
+                _h, _p, conv = run1(synd, jnp.int32(iters))
+                return carry + conv.sum(), None
+            tot, _ = jax.lax.scan(step, jnp.int32(0), ss)
+            return tot
 
-        per_iter, compile_s = slope_time(
-            run_shard, synd_np, args.iters_lo, args.iters_hi)
+        def to_shard_layout(st, sb=sb):  # (C, R, S) -> (R, D, c_pad_loc, S)
+            R = st.shape[1]
+            flat = np.zeros((sb.num_shards * sb.c_pad_loc, R, S), np.uint8)
+            flat[:C] = st
+            return flat.reshape(sb.num_shards, sb.c_pad_loc, R, S
+                                ).transpose(2, 0, 1, 3)
+
+        per_decode, compile_s = slope_time(
+            lambda ss: np.asarray(run_shard_many(ss)),
+            lambda R: synds(R, to_shard_layout),
+            args.reps_lo, args.reps_hi)
+        per_iter = per_decode / iters
         v_pad = sb.v_pad
         psum_bytes = 2 * (D - 1) / D * 4 * v_pad * S
         bw = 100e9
@@ -164,10 +192,10 @@ def main():
         rec = {
             "code": args.code, "n": V, "checks": C, "config": f"shard{D}",
             "tiles_per_shard": [s.num_tiles for s in sb.shards],
-            "shots": S, "shot_block": sblk,
+            "shots": S, "iters": iters, "shot_block": sblk,
             "per_iter_s_all_shards": per_iter,
             "per_iter_s_per_shard": per_iter / D,
-            "iter_shots_per_s_equiv": S / per_iter,
+            "iter_shots_per_s_equiv": iters * S * 1.0 / per_decode,
             "psum_bytes_per_chip_per_iter": psum_bytes,
             "projected_aggregate_iter_shots_per_s_at_100GBs": S / t_chip,
             "projected_per_chip_iter_shots_per_s_at_100GBs": S / t_chip / D,
