@@ -42,7 +42,8 @@ def main():
 
     from exp_ldpc_tpu.codes.hgp import biregular_hgp
     from exp_ldpc_tpu.decoders.bp import _bp_core, priors_to_llr
-    from exp_ldpc_tpu.decoders.bp_bsr import BSRSchedule, bsr_bp_decode
+    from exp_ldpc_tpu.decoders.bp_bsr import (
+        BSRSchedule, _auto_shot_block, bsr_bp_decode)
     from exp_ldpc_tpu.decoders.tanner import TannerELL
 
     shots = 1024
@@ -64,11 +65,15 @@ def main():
         stacked = (errors @ Hz_dense) % 2  # (R, S, C)
         return jnp.asarray(stacked.astype(np.uint8).transpose(0, 2, 1))  # (R, C, S)
 
+    # the production auto shot block (512 for this schedule size — measured
+    # ~15% over 256 on the flagship, decoders/bp_bsr._auto_shot_block)
+    sblk = _auto_shot_block(sched)
+
     @jax.jit
     def run_bsr(synds):  # (R, C, S) distinct batches, scanned on device
         def step(carry, synd):
             hard, _post, _conv, _it = bsr_bp_decode(
-                sched, prior, synd, "ms", iters, 0.625, False, 256
+                sched, prior, synd, "ms", iters, 0.625, False, sblk
             )
             return carry + hard.sum(), None
 

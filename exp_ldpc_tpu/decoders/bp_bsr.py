@@ -1016,14 +1016,24 @@ def _auto_shot_block(sched: BSRSchedule) -> int:
     since the check-scan fusion (3.48M vs 3.49M), but Mosaic's scoped-VMEM
     stack demand runs ~1.6x the naive operand estimate and the n=10000 HGP
     at 256 already overflows the 116 MiB cap.  Auto picks 256 only when
-    the estimate stays comfortably inside that calibration margin."""
-    sb = 256
-    msg = 2 * sched.e_pad * sb
-    state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
-    state += 16 * sched.c_pad * sb  # min-sum fused check-scan scratch
-    onehots = sched.num_tiles * _TILE * _TILE * 2
-    temps = 4 * 8 * _TILE * sb
-    return sb if msg + state + onehots + temps < 56 * 2**20 else 128
+    the estimate stays comfortably inside that calibration margin.
+
+    512-shot blocks measured another ~15% on the flagship HGP-225
+    (153.8M vs 134.2M in the same session; 1024 regresses to 141.9M), so
+    auto prefers 512 for SMALL schedules — gated on a tight 16 MiB
+    estimate so only the few-tile regime where it is measured (and where
+    VMEM is plentiful) changes behavior."""
+    def estimate(sb):
+        msg = 2 * sched.e_pad * sb
+        state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
+        state += 16 * sched.c_pad * sb  # min-sum fused check-scan scratch
+        onehots = sched.num_tiles * _TILE * _TILE * 2
+        temps = 4 * 8 * _TILE * sb
+        return msg + state + onehots + temps
+
+    if estimate(512) < 16 * 2**20:
+        return 512
+    return 256 if estimate(256) < 56 * 2**20 else 128
 
 
 def _resolve_onehot_vmem(sched: BSRSchedule, shot_block: int, msg_bytes: int,
@@ -1056,6 +1066,7 @@ def bsr_bp_decode_int8(sched: BSRSchedule, prior_q, syndromes,
     C_pad, V_pad = sched.c_pad, sched.v_pad
     Cs, S = syndromes.shape
     assert Cs == C
+    shot_block = min(shot_block, _round_up(S, _TILE))  # see bsr_bp_decode
     S_pad = _round_up(S, shot_block)
 
     synd = jnp.zeros((C_pad, S_pad), jnp.int8)
@@ -1133,6 +1144,10 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
     C_pad, V_pad = sched.c_pad, sched.v_pad
     Cs, S = syndromes.shape
     assert Cs == C
+    # don't pad a small batch up to a large block (the auto block can be
+    # 512); the clamp is trace-time static, so it recompiles only when the
+    # batch shape itself changes — which already forces a recompile
+    shot_block = min(shot_block, _round_up(S, _TILE))
     S_pad = _round_up(S, shot_block)
 
     synd = jnp.zeros((C_pad, S_pad), jnp.bfloat16)
