@@ -65,8 +65,8 @@ def main():
         stacked = (errors @ Hz_dense) % 2  # (R, S, C)
         return jnp.asarray(stacked.astype(np.uint8).transpose(0, 2, 1))  # (R, C, S)
 
-    # the production auto shot block (512 for this schedule size — measured
-    # ~15% over 256 on the flagship, decoders/bp_bsr._auto_shot_block)
+    # the production auto shot block (256 here; a 512 tier was evaluated
+    # and rejected as timing noise — see decoders/bp_bsr._auto_shot_block)
     sblk = _auto_shot_block(sched)
 
     @jax.jit

@@ -1018,22 +1018,18 @@ def _auto_shot_block(sched: BSRSchedule) -> int:
     at 256 already overflows the 116 MiB cap.  Auto picks 256 only when
     the estimate stays comfortably inside that calibration margin.
 
-    512-shot blocks measured another ~15% on the flagship HGP-225
-    (153.8M vs 134.2M in the same session; 1024 regresses to 141.9M), so
-    auto prefers 512 for SMALL schedules — gated on a tight 16 MiB
-    estimate so only the few-tile regime where it is measured (and where
-    VMEM is plentiful) changes behavior."""
-    def estimate(sb):
-        msg = 2 * sched.e_pad * sb
-        state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
-        state += 16 * sched.c_pad * sb  # min-sum fused check-scan scratch
-        onehots = sched.num_tiles * _TILE * _TILE * 2
-        temps = 4 * 8 * _TILE * sb
-        return msg + state + onehots + temps
-
-    if estimate(512) < 16 * 2**20:
-        return 512
-    return 256 if estimate(256) < 56 * 2**20 else 128
+    A 512 tier for small schedules was evaluated and REJECTED: a single
+    probe read +15% on HGP-225 (153.8M), but a 5-run fresh-process
+    variance suite put the 512 median at 133.4M vs the 256 median 138.6M
+    — tunnel timing noise includes occasional 50%+ outliers
+    (``artifacts/bench_variance_v5e.jsonl``), so the probe was noise."""
+    sb = 256
+    msg = 2 * sched.e_pad * sb
+    state = 4 * sb * (sched.v_pad + 2 * sched.c_pad)
+    state += 16 * sched.c_pad * sb  # min-sum fused check-scan scratch
+    onehots = sched.num_tiles * _TILE * _TILE * 2
+    temps = 4 * 8 * _TILE * sb
+    return sb if msg + state + onehots + temps < 56 * 2**20 else 128
 
 
 def _resolve_onehot_vmem(sched: BSRSchedule, shot_block: int, msg_bytes: int,

@@ -378,23 +378,21 @@ def test_bsr_schedule_dyn_metadata(code300):
 
 
 def test_bsr_auto_shot_block():
-    """Auto shot_block tiers: 512 for small schedules (measured ~15%
-    faster on the flagship), 256 in the mid range, 128 for schedules near
-    the scoped VMEM cap (the n=10000-scale regime)."""
+    """Auto shot_block: 256 where the VMEM estimate safely allows, 128 for
+    schedules near the scoped cap (the n=10000-scale regime).  A 512 tier
+    was evaluated on hardware and rejected (variance-suite median below
+    256's — see _auto_shot_block docstring)."""
     from exp_ldpc_tpu.decoders.bp_bsr import _auto_shot_block
     rng = np.random.default_rng(2)
     small = BSRSchedule.from_tanner(
         TannerELL.from_check_matrix(random_ldpc(rng, 150, 300)))
-    assert _auto_shot_block(small) == 512
-    mid = BSRSchedule.from_tanner(
-        TannerELL.from_check_matrix(random_ldpc(rng, 1000, 2000, row_w=7)))
-    assert _auto_shot_block(mid) == 256
+    assert _auto_shot_block(small) == 256
     big = BSRSchedule.from_tanner(
         TannerELL.from_check_matrix(random_ldpc(rng, 4800, 10000, row_w=7)))
     assert _auto_shot_block(big) == 128
     dec = BSRBPDecoder.from_check_matrix(
         random_ldpc(rng, 150, 300), error_rate=1e-3, interpret=True)
-    assert dec.shot_block == 512
+    assert dec.shot_block == 256
     dec = BSRBPDecoder.from_check_matrix(
         random_ldpc(rng, 150, 300), error_rate=1e-3, shot_block=64,
         interpret=True)
