@@ -36,6 +36,16 @@ accumulation, not bit-for-bit — hard decisions and convergence flags are
 asserted identical on every tested code (``tests/test_bp_bsr_shard.py``),
 matching the validation contract of ``parallel/check_shard.py``.
 
+MEASURED on the real chip (``scripts/bench_bsr_shard.py`` →
+``artifacts/bsr_shard_v5e.jsonl``, analysis in ``docs/DESIGN.md`` §12b):
+the per-iteration split costs 2.2–2.3× over the fused kernel (HBM
+round-trips of state the fused kernel keeps VMEM-resident) and the psum
+does not shrink with D, so for THROUGHPUT shot/data parallelism
+dominates check-partition at every size that fits one chip.  Use this
+decoder for its actual domains: codes beyond single-chip capacity,
+per-decode latency at fixed batch, VMEM/HBM headroom, and a 4× faster
+cold compile than the fused kernel (41 s vs 156–297 s at 821 tiles).
+
 Reference frame: the reference has no model parallelism at all (its only
 strategy is a CPU process pool over shots,
 ``/root/reference/python/qldpc/misc/p_sweep.py:18-29``); SURVEY.md §2.4
