@@ -78,7 +78,8 @@ from ..utils.compile_cache import enable_compilation_cache
 import jax.experimental.pallas as pl
 import jax.experimental.pallas.tpu as pltpu
 
-__all__ = ["ShardedBSR", "ShardedBSRDecoder", "bsr_shard_iter"]
+__all__ = ["ShardedBSR", "ShardedBSRDecoder", "auto_num_shards",
+           "bsr_shard_iter"]
 
 
 @dataclass(frozen=True, eq=False)  # identity hash: _build_schedule cache key
@@ -149,6 +150,52 @@ class ShardedBSR:
         return cls(num_checks=C, num_vars=V, num_shards=D,
                    c_pad_loc=c_pad_loc, dc=Dc, shards=shards,
                    chk_vars=chk_vars, chk_mask=chk_mask)
+
+
+def auto_num_shards(H, shot_block: int = 128, max_shards: int = 64) -> int:
+    """Smallest shard count whose per-shard kernel fits the VMEM budget.
+
+    Estimates the per-shard residency (replicated posterior/partials +
+    local messages + one-hot scratch + temporaries) for D = 1, 2, 4, ...
+    and returns the first D under the same 56 MiB calibration margin the
+    single-kernel paths use.  For the n=40,000 capacity demonstration
+    this returns 8; for codes the fused kernel can run it returns 1
+    (where the fused kernel should be preferred for throughput —
+    DESIGN.md §12b).  Raises if even ``max_shards`` does not fit (the
+    replicated (V_pad, S) posterior sets a hard floor; shrink
+    ``shot_block`` instead).
+    """
+    H = sparse.csr_matrix(H)
+    C, V = H.shape
+    E = H.nnz
+    v_pad = _round_up(V, _TILE)
+    D = 1
+    while D <= max_shards:
+        n_cc = _round_up(C, _TILE) // _TILE
+        c_loc = _round_up(-(-n_cc // D), 1) * _TILE
+        dc = int(max((H.indptr[i + 1] - H.indptr[i] for i in range(C)),
+                     default=1))
+        e_loc = dc * c_loc
+        # tiles don't partition perfectly; assume the worst shard holds
+        # ~1.3x the average share of the (unknown pre-build) tile count,
+        # approximated by the E/128 lower bound x2 locality factor
+        tiles_loc = int(2.6 * E / 128 / D)
+        state = 8 * v_pad * shot_block          # posterior + partials f32
+        msg = 2 * 2 * e_loc * shot_block        # messages in + out bf16
+        oh = tiles_loc * _TILE * _TILE * 2
+        temps = 4 * 8 * _TILE * shot_block
+        # 64 MiB budget under the 116 MiB scoped cap: the split kernel's
+        # biggest residents (posterior/partials) are streamed operands,
+        # not stack, so it tolerates a looser margin than the fused
+        # kernel's 56 MiB — calibrated by the n=40k D=8 demo (~61 MiB
+        # estimated, runs)
+        if state + msg + oh + temps < 64 * 2**20:
+            return D
+        D *= 2
+    raise ValueError(
+        "no shard count fits VMEM: the replicated (V_pad, S) posterior "
+        f"alone is {8 * v_pad * shot_block / 2**20:.0f} MiB; reduce "
+        "shot_block")
 
 
 def _kernel_iter(post_ref, msg_in_ref, synd_ref, mask_t_ref, idx_ref,

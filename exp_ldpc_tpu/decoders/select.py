@@ -105,7 +105,15 @@ def make_bp_decoder(
 
 
 def _bsr_usable(tanner: TannerELL) -> bool:
-    """BSR needs a real TPU backend (no Mosaic CPU lowering) + VMEM room."""
+    """BSR needs a real TPU backend (no Mosaic CPU lowering) + VMEM room.
+
+    Codes rejected here for VMEM (roughly > 3000 tiles / n ≳ 40k) are
+    still decodable through the check-partition split path —
+    :class:`exp_ldpc_tpu.decoders.bp_bsr_shard.ShardedBSRDecoder` with
+    ``auto_num_shards`` — demonstrated at n=40,000 on one chip
+    (``scripts/demo_capacity_shard.py``, DESIGN.md §12b); it requires an
+    explicit choice of shard count/mesh, so auto-selection does not
+    route there."""
     import jax
 
     if not fits_bsr(tanner):

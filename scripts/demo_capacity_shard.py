@@ -28,7 +28,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nv", type=int, default=160)
-    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="0 = auto (decoders.bp_bsr_shard.auto_num_shards)")
     ap.add_argument("--shots", type=int, default=128)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--p", type=float, default=5e-4)
@@ -39,7 +40,8 @@ def main():
 
     from exp_ldpc_tpu.codes.hgp import biregular_hgp
     from exp_ldpc_tpu.decoders.bp_bsr import fits_bsr
-    from exp_ldpc_tpu.decoders.bp_bsr_shard import ShardedBSR, ShardedBSRDecoder
+    from exp_ldpc_tpu.decoders.bp_bsr_shard import (
+        ShardedBSR, ShardedBSRDecoder, auto_num_shards)
     from exp_ldpc_tpu.decoders.tanner import TannerELL
 
     t0 = time.time()
@@ -47,6 +49,9 @@ def main():
     H = sparse.csr_matrix(code.checks.z)
     C, V = H.shape
     build_code_s = time.time() - t0
+    if not args.shards:
+        args.shards = auto_num_shards(H)
+        print(f"auto shard count: {args.shards}", flush=True)
 
     tanner = TannerELL.from_check_matrix(H)
     single_kernel_ok = fits_bsr(tanner)

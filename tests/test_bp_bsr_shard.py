@@ -126,3 +126,19 @@ def test_low_weight_errors_corrected(code_n625):
     h, _p, c = _decode(H, synd, 2, max_iter=24)
     assert c.all()
     assert np.array_equal(h, err)
+
+
+def test_auto_num_shards(code_n625):
+    from scipy import sparse
+
+    from exp_ldpc_tpu.decoders.bp_bsr_shard import auto_num_shards
+
+    # small codes fit unsharded; the 40k-qubit capacity-demo scale needs 8
+    # (hardware-calibrated, scripts/demo_capacity_shard.py)
+    assert auto_num_shards(code_n625.checks.z) == 1
+    H = code_n625.checks.z
+    big = sparse.block_diag([H] * 64, format="csr")  # n = 40k, C ~ 19k
+    assert auto_num_shards(big) >= 8
+    with pytest.raises(ValueError, match="reduce"):
+        auto_num_shards(sparse.block_diag([H] * 512, format="csr"),
+                        shot_block=1024, max_shards=2)
