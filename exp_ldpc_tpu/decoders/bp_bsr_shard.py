@@ -157,8 +157,8 @@ def auto_num_shards(H, shot_block: int = 128, max_shards: int = 64) -> int:
 
     Estimates the per-shard residency (replicated posterior/partials +
     local messages + one-hot scratch + temporaries) for D = 1, 2, 4, ...
-    and returns the first D under the same 56 MiB calibration margin the
-    single-kernel paths use.  For the n=40,000 capacity demonstration
+    and returns the first D under a 64 MiB budget (hardware-calibrated —
+    see the in-body comment).  For the n=40,000 capacity demonstration
     this returns 8; for codes the fused kernel can run it returns 1
     (where the fused kernel should be preferred for throughput —
     DESIGN.md §12b).  Raises if even ``max_shards`` does not fit (the
@@ -583,3 +583,8 @@ class ShardedBSRDecoder:
         V = sb.num_vars
         return (np.asarray(hard)[:V].T[:S], np.asarray(post)[:V].T[:S],
                 np.asarray(conv)[:S])
+
+    def decode(self, syndrome: np.ndarray) -> np.ndarray:
+        """Single-syndrome convenience (`BPDecoder` contract)."""
+        hard, _post, _conv = self.decode_batch(np.asarray(syndrome)[None, :])
+        return np.asarray(hard[0])
