@@ -295,3 +295,27 @@ def test_fused_pipeline_modes_on_mesh(small_code, mode):
     assert f > 0 and f1 > 0
     gap = _binomial_sigma_gap(f, n, f1, n1, k=3)
     assert gap < 0, (mode, f, f1, gap)
+
+
+def test_bposd_fixed_seed_regression(small_code):
+    """Fixed-seed regression for the FULL bposd chain (device-sampler +
+    fixed-iteration BP + host OSD redecode of unconverged shots): pins the
+    failure and OSD-shipped counts for one (code, p, key) on the CPU
+    backend.  Accuracy drift anywhere — sampler, BP, shipping logic, OSD —
+    moves the counts outside the band."""
+    import jax
+
+    p = 0.01
+    pipe = StorageDecodePipeline(
+        code=small_code, rounds=2, noise_model=depolarizing_noise(p, p),
+        data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+        shots_per_device=1024, max_iter=24, bp_method="ms",
+        ms_scaling_factor=0.625, osd_fallback_cap=1024)
+    failures, shots, osd_shipped = pipe.run(jax.random.PRNGKey(7))
+    assert shots == 1024
+    # measured 2026-08 (CPU backend, threefry PRNG, r4 logical basis):
+    # bposd failures=445, osd_shipped=669; plain BP on the same key gives
+    # 564 failures — the OSD redecode must keep its ~20% margin
+    assert abs(failures - 445) <= 4 * np.sqrt(445), (failures, osd_shipped)
+    assert abs(osd_shipped - 669) <= 4 * np.sqrt(669), (failures, osd_shipped)
+    assert failures < 564 - 2 * np.sqrt(564)
