@@ -1141,7 +1141,7 @@ def bsr_bp_decode(sched: BSRSchedule, prior_llr, syndromes, method: str,
     Cs, S = syndromes.shape
     assert Cs == C
     # don't pad a small batch up to a large block (the auto block can be
-    # 512); the clamp is trace-time static, so it recompiles only when the
+    # 256); the clamp is trace-time static, so it recompiles only when the
     # batch shape itself changes — which already forces a recompile
     shot_block = min(shot_block, _round_up(S, _TILE))
     S_pad = _round_up(S, shot_block)

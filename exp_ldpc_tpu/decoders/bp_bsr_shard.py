@@ -169,12 +169,11 @@ def auto_num_shards(H, shot_block: int = 128, max_shards: int = 64) -> int:
     C, V = H.shape
     E = H.nnz
     v_pad = _round_up(V, _TILE)
+    n_cc = _round_up(C, _TILE) // _TILE
+    dc = int(np.diff(H.indptr).max(initial=1))
     D = 1
     while D <= max_shards:
-        n_cc = _round_up(C, _TILE) // _TILE
         c_loc = _round_up(-(-n_cc // D), 1) * _TILE
-        dc = int(max((H.indptr[i + 1] - H.indptr[i] for i in range(C)),
-                     default=1))
         e_loc = dc * c_loc
         # tiles don't partition perfectly; assume the worst shard holds
         # ~1.3x the average share of the (unknown pre-build) tile count,
@@ -465,7 +464,8 @@ class ShardedBSRDecoder:
         V_pad = sb.v_pad
 
         def per_device(synd_loc, chk_vars, chk_mask, n_iter):
-            synd_loc = synd_loc[0] if synd_loc.ndim == 3 else synd_loc
+            # in_spec P(MODEL_AXIS, DATA_AXIS) on the 2D syndrome always
+            # yields a 2D local block; chk_vars/chk_mask are 3D-sharded
             chk_vars = chk_vars[0]
             mask3 = chk_mask[0][:, :, None]
             my = jax.lax.axis_index(MODEL_AXIS)
@@ -567,10 +567,15 @@ class ShardedBSRDecoder:
         S_pad = _round_up(S, n_data * blk)
         S_loc = S_pad // n_data
 
-        if self._decode is None or self._decode[0] != S_pad:
+        # key on every attribute the traced program bakes in, not just the
+        # padded shot count — mutating e.g. mesh/method after the first call
+        # must rebuild, not silently reuse the stale program
+        key = (S_pad, self.mesh, self.shot_block, self.method,
+               float(self.ms_scaling_factor), self.interpret)
+        if self._decode is None or self._decode[0] != key:
             fn = (self._build_sharded(S_loc) if self.mesh is not None
                   else self._build_emulated(S_pad))
-            self._decode = (S_pad, fn)
+            self._decode = (key, fn)
 
         if self.mesh is not None:
             synd = np.zeros((sb.num_shards * sb.c_pad_loc, S_pad), np.uint8)
