@@ -22,7 +22,6 @@ from .bp import BPDecoder
 from .bposd import BPOSDDecoder
 from .dem import detector_error_model
 from .spacetime import DetectorSpacetimeCode, SpacetimeCode, SpacetimeCodeSingleShot
-from .spacetime_bp import SpacetimeBPDecoder
 
 __all__ = [
     "BPOSDCorrect",
@@ -56,10 +55,13 @@ class BPOSDCorrect:
         self._checks = code.checks.x if basis == "x" else code.checks.z
         self._spacetime_code = SpacetimeCode(self._checks, rounds)
         prior_vec = _spacetime_prior(self._spacetime_code, data_prior, meas_prior)
-        # structured spacetime BP: same flooding math, (rounds+1)x fewer FLOPs
-        # than generic BP on the big matrix (decoders/spacetime_bp.py); OSD
-        # post-processing still runs on the full spacetime matrix
-        bp = SpacetimeBPDecoder.from_check_matrix(
+        # structured spacetime BP via kernel selection: the dense
+        # formulation (decoders/spacetime_bp.py) for small codes, the
+        # streamed BSR kernel (decoders/bp_bsr_spacetime.py) for large ones
+        # — OSD post-processing still runs on the full spacetime matrix
+        from .select import make_spacetime_bp_decoder
+
+        bp = make_spacetime_bp_decoder(
             self._checks, rounds, channel_probs=prior_vec,
             **{k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")},
         )
@@ -133,12 +135,13 @@ class BPOSDHybridCorrect:
         bp_options = {
             k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")
         }
-        self._bpd = SpacetimeBPDecoder.from_check_matrix(
+        from .select import make_spacetime_bp_decoder, qc_kwargs_for_code
+
+        self._bpd = make_spacetime_bp_decoder(
             self._checks, rounds,
             channel_probs=_spacetime_prior(self._spacetime_code, data_prior, meas_prior),
             **bp_options,
         )
-        from .select import qc_kwargs_for_code
 
         self._bpd_final_round = BPOSDDecoder.from_check_matrix(
             self._checks, error_rate=data_prior,

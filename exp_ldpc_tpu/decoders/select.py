@@ -23,7 +23,8 @@ from .bp_bsr import BSRBPDecoder, fits_bsr
 from .qc_bp import QCBPDecoder
 from .tanner import TannerELL
 
-__all__ = ["make_bp_decoder", "qc_kwargs_for_code", "qc_kwargs_single_shot"]
+__all__ = ["make_bp_decoder", "make_spacetime_bp_decoder",
+           "qc_kwargs_for_code", "qc_kwargs_single_shot"]
 
 # above this monomial count the unrolled roll kernel's compile time and HLO
 # size are not worth it; fall back to the generic formulations
@@ -102,6 +103,50 @@ def make_bp_decoder(
                 H, qc_dims, check_perm=qc_check_perm, var_perm=qc_var_perm, **opts
             )
     return BPDecoder.from_check_matrix(H, **opts)
+
+
+def make_spacetime_bp_decoder(H, num_rounds: int, **opts):
+    """Multi-round spacetime BP with automatic kernel selection.
+
+    ``H`` is the BASE check matrix; ``num_rounds`` the measurement rounds.
+    Small codes keep the dense structured formulation
+    (:class:`~exp_ldpc_tpu.decoders.spacetime_bp.SpacetimeBPDecoder` —
+    its one-hot operand pair is the BASE code's, batched over rounds, so
+    the flat-decode crossover measured in
+    ``artifacts/bp_families_v5e.jsonl`` carries over); above the same
+    ~1 MiB operand threshold on a TPU backend, the streamed
+    :class:`~exp_ldpc_tpu.decoders.bp_bsr_spacetime.SpacetimeBSRDecoder`
+    (round blocks streamed through VMEM over ONE base-code tile schedule)
+    — the only device formulation whose memory does not grow with
+    rounds·n.  The reference delegates every size to serial Cython BP on
+    the assembled spacetime matrix
+    (``/root/reference/python/qldpc/misc/_experiment.py:62-83``).
+    """
+    from .bp_bsr_spacetime import SpacetimeBSRDecoder
+    from .spacetime_bp import SpacetimeBPDecoder
+
+    H = sparse.csr_matrix(H)
+    tanner = TannerELL.from_check_matrix(H)
+    ops_bytes = _dense_ops_bytes(tanner)
+    if (num_rounds >= 1 and ops_bytes >= _BSR_MIN_OPS_BYTES
+            and (opts.get("interpret") or _stbsr_usable(tanner))):
+        return SpacetimeBSRDecoder.from_check_matrix(H, num_rounds, **opts)
+    opts.pop("interpret", None)
+    return SpacetimeBPDecoder.from_check_matrix(H, num_rounds, **opts)
+
+
+def _stbsr_usable(tanner: TannerELL) -> bool:
+    """Streamed spacetime BSR needs a real TPU backend + per-call VMEM."""
+    import jax
+
+    from .bp_bsr_spacetime import fits_stbsr
+
+    if not fits_stbsr(tanner, 1):
+        return False
+    try:
+        return all(d.platform == "tpu" for d in jax.devices())
+    except RuntimeError:
+        return False
 
 
 def _bsr_usable(tanner: TannerELL) -> bool:
