@@ -94,6 +94,22 @@ class StorageDecodePipeline:
     # host where the matching BP+OSD driver redecodes them (the OSD-only-
     # on-BP-failures contract).
     mode: str = "bposd"
+    # > 0: TWO-TIER adaptive decode for mode "bposd" (VERDICT r4 item 2).
+    # Stage 1 runs every shot at tier1_iters; the (few) unconverged shots
+    # are compacted to a fixed-size block of tier2_cap and redecoded from
+    # scratch at max_iter.  At campaign p-values most shots converge in
+    # well under max_iter iterations, so this converts the fixed-iteration
+    # benchmark discipline into real campaign throughput while keeping
+    # every shape static (two compiled programs per sweep, not a dynamic
+    # loop).  A redecode-from-scratch at max_iter reproduces exactly what
+    # a per-shot-frozen early-stop decode would have produced for those
+    # shots (same deterministic trajectory), so the statistics match the
+    # reference's early-exit ldpc semantics (``misc/_experiment.py:213``)
+    # up to tier2_cap overflow — overflow shots keep their stage-1 result
+    # and are reported unconverged (-> OSD under run_bposd, exactly like
+    # any other BP failure).
+    tier1_iters: int = 0
+    tier2_cap: Optional[int] = None
 
     def __post_init__(self):
         code = self.code
@@ -149,6 +165,16 @@ class StorageDecodePipeline:
         # One compile serves a whole p sweep (see rebind_noise)
         self._noise_args = jnp.asarray(self.parsed.noise_args())
         self._prior = self._prior_tree()
+
+        if self.tier1_iters > 0:
+            if self.mode != "bposd":
+                raise ValueError("tier1_iters applies to mode='bposd' only")
+            if self.early_stop:
+                raise ValueError("tier1_iters requires early_stop=False "
+                                 "(two fixed-shape passes)")
+            if self.tier2_cap is None:
+                self.tier2_cap = max(128, self.shots_per_device // 4)
+            self.tier2_cap = min(self.tier2_cap, self.shots_per_device)
 
         self._osd = None
         if self.osd_fallback_cap > 0:
@@ -287,29 +313,37 @@ class StorageDecodePipeline:
             )
             synd = synd.reshape(S, (rounds + 1) * r).astype(jnp.uint8)
 
-            if self._pallas:
-                from ..decoders.spacetime_bp_pallas import stbp_pallas_fixed
+            def run_stbp(s_in, n_iter):
+                """(S', Bst*r) syndromes -> (hard (S', Vst), conv (S',))."""
+                if self._pallas:
+                    from ..decoders.spacetime_bp_pallas import stbp_pallas_fixed
 
-                hard, _post, conv, _iters = stbp_pallas_fixed(
-                    self.tanner, rounds, prior_main, synd.T,
-                    self.bp_method, self.max_iter, float(self.ms_scaling_factor),
-                )
-            else:
-                hard, _post, conv, _iters = _stbp_core(
-                    self.tanner,
-                    rounds,
-                    prior_main,
-                    synd.T,
-                    self.bp_method,
-                    self.max_iter,
-                    msf,
-                    self.early_stop,
-                    "auto",
-                    dense_main,
-                    self.msg_dtype,
-                )
+                    h, _p, c, _i = stbp_pallas_fixed(
+                        self.tanner, rounds, prior_main, s_in.T,
+                        self.bp_method, n_iter,
+                        float(self.ms_scaling_factor))
+                else:
+                    h, _p, c, _i = _stbp_core(
+                        self.tanner, rounds, prior_main, s_in.T,
+                        self.bp_method, n_iter, msf, self.early_stop,
+                        "auto", dense_main, self.msg_dtype)
+                return h.T, c
+
+            hard, conv = run_stbp(synd, self.max_iter if self.tier1_iters <= 0
+                                  else self.tier1_iters)
+            if self.tier1_iters > 0:
+                # stage 2: compact the unconverged shots to a fixed-size
+                # block and redecode from scratch at the full budget
+                cap2 = self.tier2_cap
+                order2 = jnp.argsort(conv.astype(jnp.int32),
+                                     stable=True)[:cap2]
+                hard2, conv2 = run_stbp(synd[order2], self.max_iter)
+                take = ~conv[order2]
+                hard = hard.at[order2].set(
+                    jnp.where(take[:, None], hard2, hard[order2]))
+                conv = conv.at[order2].set(conv[order2] | conv2)
             # mod-2 sum of the per-round data blocks
-            data_blocks = hard.T[:, : (rounds + 1) * n].reshape(S, rounds + 1, n)
+            data_blocks = hard[:, : (rounds + 1) * n].reshape(S, rounds + 1, n)
             bp_corr = jnp.mod(jnp.sum(data_blocks, axis=1), 2).astype(jnp.float32)
             if self.mode == "bposd":
                 correction = bp_corr

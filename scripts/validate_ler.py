@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--p-grid", type=str, default="(1e-3,8e-3,5)")
     ap.add_argument("--max-iter", type=int, default=48)
+    ap.add_argument("--tier1-iters", type=int, default=0,
+                    help="two-tier adaptive decode: stage-1 iteration "
+                         "budget for every shot; unconverged shots "
+                         "redecode at --max-iter (0 = single fixed tier)")
     ap.add_argument("--decode", choices=("bp", "bposd"), default="bp")
     ap.add_argument("--osd-cap", type=int, default=0,
                     help="per-device cap on shots shipped to the host OSD "
@@ -141,7 +145,7 @@ def main():
                 data_prior=dp, meas_prior=mp,
                 shots_per_device=batch, max_iter=args.max_iter,
                 bp_method="ms", ms_scaling_factor=0.625,
-                osd_fallback_cap=osd_cap)
+                osd_fallback_cap=osd_cap, tier1_iters=args.tier1_iters)
         else:
             # one compile serves the whole grid: only probability values change
             pipe.rebind_noise(make_noise(p, p), dp, mp)
