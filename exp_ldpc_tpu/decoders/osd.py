@@ -125,7 +125,8 @@ def osd_decode(H, syndrome, posterior_llr, osd_method="osd0", osd_order=7):
 _METHOD_ID = {"osd0": 0, "osd_e": 1, "osd_cs": 2}
 
 
-def _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order):
+def _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order,
+                      nthreads=0):
     """Threaded C++ batch OSD (native/gf2_kernels.cpp::osd_batch), or None if
     the native library is unavailable.  Bit-identical to the numpy path up to
     floating-point tie-breaks in candidate scoring (measure-zero for real BP
@@ -147,7 +148,7 @@ def _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order):
         Hd.ctypes.data_as(ctypes.c_void_p), r, n,
         synd.ctypes.data_as(ctypes.c_void_p),
         llrs.ctypes.data_as(ctypes.c_void_p), S,
-        _METHOD_ID[osd_method], osd_order, 0,
+        _METHOD_ID[osd_method], osd_order, int(nthreads),
         out.ctypes.data_as(ctypes.c_void_p),
     )
     if rc != 0:
@@ -156,18 +157,20 @@ def _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order):
 
 
 def osd_decode_batch(H, syndromes, posterior_llrs, osd_method="osd0", osd_order=7,
-                     backend="auto"):
+                     backend="auto", nthreads=0):
     """OSD over a batch of shots.
 
     ``backend="auto"`` uses the threaded C++ kernel when available (parallel
     over shots — the reference decodes shots one at a time in a Python loop,
     ``/root/reference/python/qldpc/misc/_experiment.py:199-209``) and falls
     back to the per-shot numpy path; ``"numpy"`` forces the fallback.
+    ``nthreads`` caps the native worker threads (0 = all hardware threads).
     """
     if osd_method not in _METHOD_ID:
         raise ValueError(f"unknown osd method {osd_method!r}")
     if backend == "auto":
-        out = _osd_batch_native(H, syndromes, posterior_llrs, osd_method, osd_order)
+        out = _osd_batch_native(H, syndromes, posterior_llrs, osd_method,
+                                osd_order, nthreads)
         if out is not None:
             return out
     elif backend != "numpy":
