@@ -272,20 +272,57 @@ class RelayBPCorrect:
 @dataclass
 class BPDetectorCorrect:
     """BP on the detector-error-model fault matrix (reference ``:128-151``,
-    with the fault/detector indexing bug SURVEY.md §2.5.1 fixed)."""
+    with the fault/detector indexing bug SURVEY.md §2.5.1 fixed).
+
+    The reference's mode is plain flooding BP — and circuit-level DEM
+    fault matrices are intrinsically hostile to it (huge column
+    degeneracy, short cycles: measured 45% non-convergence at p=3e-4 even
+    on syndromes sampled from the DEM itself).  Beyond reference parity,
+    two opt-in upgrades make the mode usable:
+
+      * ``relay_legs`` / ``relay_iters_per_leg`` / ``relay_seed`` — run the
+        disordered-memory relay-BP ensemble instead of one flooding pass
+        (measured 45% -> 7% non-convergence at 8x30 legs);
+      * ``detector_osd=True`` — OSD post-processing (``osd_method`` /
+        ``osd_order``) of the shots BP left unconverged, on the fault
+        matrix.
+    """
 
     def __init__(self, dem, bp_osd_options: Dict):
+        from scipy import sparse as _sparse
+
         from .select import make_bp_decoder
 
         self._dsc = DetectorSpacetimeCode(dem)
-        bp_options = {k: v for k, v in bp_osd_options.items() if not k.startswith("osd_")}
-        # fault matrices grow with rounds; route through the formulation
-        # selection (fused BSR kernel on TPU above the ~1 MiB crossover)
-        self._bpd = make_bp_decoder(
-            self._dsc.fault_check_matrix,
-            channel_probs=self._dsc.fault_priors,
-            **bp_options,
-        )
+        opts = dict(bp_osd_options)
+        relay_legs = int(opts.pop("relay_legs", 0) or 0)
+        relay_iters = int(opts.pop("relay_iters_per_leg", 30))
+        relay_seed = int(opts.pop("relay_seed", 0))
+        use_osd = bool(opts.pop("detector_osd", False))
+        osd_method = opts.get("osd_method", "osd0")
+        osd_order = opts.get("osd_order", 0)
+        bp_options = {k: v for k, v in opts.items() if not k.startswith("osd_")}
+        H = self._dsc.fault_check_matrix
+        if relay_legs > 0:
+            from .relay_bp import RelayBPDecoder
+
+            bp = RelayBPDecoder.from_check_matrix(
+                H, channel_probs=self._dsc.fault_priors,
+                method=bp_options.get("bp_method", "ms"),
+                ms_scaling_factor=float(
+                    bp_options.get("ms_scaling_factor", 0.625) or 0.625),
+                num_legs=relay_legs, iters_per_leg=relay_iters,
+                seed=relay_seed)
+        else:
+            # fault matrices grow with rounds; route through the
+            # formulation selection
+            bp = make_bp_decoder(
+                H, channel_probs=self._dsc.fault_priors, **bp_options)
+        self._bpd = (
+            BPOSDDecoder(bp=bp, H=_sparse.csr_matrix(H),
+                         osd_method=osd_method, osd_order=osd_order)
+            if use_osd else bp)
+        self._use_osd = use_osd
         self._fault_map_T = self._dsc.fault_map.T.toarray()
 
     def readout_correction_batch(self, detector_batch: np.ndarray) -> np.ndarray:
@@ -294,7 +331,10 @@ class BPDetectorCorrect:
         D = self._dsc.fault_check_matrix.shape[0]
         syndrome = detector_batch[:, :D]
         logicals = detector_batch[:, D:]
-        fault_set, _post, _conv, _it = self._bpd.decode_batch(syndrome)
+        if self._use_osd:
+            fault_set = self._bpd.decode_batch(syndrome)
+        else:
+            fault_set, _post, _conv, _it = self._bpd.decode_batch(syndrome)
         flips = (np.asarray(fault_set) @ self._fault_map_T) % 2
         return (logicals + flips) % 2
 

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""bpd_detector-mode LER campaign: the detector-error-model decode at scale.
+
+The reference's ``bpd_detector`` mode is broken (it wires faults to
+enumeration indices instead of detector ids,
+``/root/reference/python/qldpc/spacetime_code.py:168-171``, SURVEY.md
+§2.5.1); ours is the FIXED mode (``decoders/dem.py`` + ``BPDetectorCorrect``)
+— but until round 5 it was validated only by unit tests.  This runs the
+full chain under circuit noise at campaign scale: device detector sampler
+(observables appended) -> BP on the DEM fault matrix -> observable
+correction via the fault map, and writes one JSONL record per p for
+overlay against the bposd spacetime curve
+(``artifacts/ler_hgp225_bposd_circuit_v5e.jsonl``).
+
+  python scripts/validate_dem.py --samples 100000 --out artifacts/ler_hgp225_dem_circuit_v5e.jsonl
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def wilson_interval(k, n, z=2.0):
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=100000)
+    ap.add_argument("--batch-shots", type=int, default=8192)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--p-grid", type=str, default="(1.5e-4,1.2e-3,6)")
+    ap.add_argument("--max-iter", type=int, default=48)
+    ap.add_argument("--relay-legs", type=int, default=12,
+                    help="relay-BP ensemble legs for the stage-2 redecode "
+                         "of stage-1-unconverged shots (0 = skip relay)")
+    ap.add_argument("--relay-iters", type=int, default=40)
+    ap.add_argument("--relay-cap", type=int, default=2048,
+                    help="fixed stage-2 batch size (compacted unconverged "
+                         "shots pad up to this; one compile)")
+    ap.add_argument("--osd-cap", type=int, default=2048,
+                    help="per-batch cap on host-OSD redecode of "
+                         "BP-unconverged shots (0 = no OSD)")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from exp_ldpc_tpu.circuits.noise import circuit_noise
+    from exp_ldpc_tpu.circuits.storage_sim import build_storage_simulation
+    from exp_ldpc_tpu.codes.hgp import biregular_hgp
+    from exp_ldpc_tpu.decoders.dem import detector_error_model
+    from exp_ldpc_tpu.decoders.drivers import BPDetectorCorrect
+    from exp_ldpc_tpu.decoders.osd import osd_decode_batch
+    from exp_ldpc_tpu.experiments.p_sweep import parse_sweep_spec
+    from exp_ldpc_tpu.sampler.device import DeviceSampler
+
+    lo, hi, pts = parse_sweep_spec(args.p_grid)
+    p_grid = np.geomspace(lo, hi, pts)
+    code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
+
+    batch = args.batch_shots
+    n_calls = -(-args.samples // batch)
+    for i, p in enumerate(p_grid):
+        p = float(p)
+        sim = build_storage_simulation(args.rounds, circuit_noise(p, p), code)
+        dem = detector_error_model(sim.circuit)
+        decoder = BPDetectorCorrect(dem, {
+            "max_iter": args.max_iter, "bp_method": "ms",
+            "ms_scaling_factor": 0.625})
+        bp_stage = decoder._bpd
+        Hf = decoder._dsc.fault_check_matrix
+        relay = None
+        if args.relay_legs > 0:
+            from exp_ldpc_tpu.decoders.relay_bp import RelayBPDecoder
+
+            relay = RelayBPDecoder.from_check_matrix(
+                Hf, channel_probs=decoder._dsc.fault_priors, method="ms",
+                ms_scaling_factor=0.625, num_legs=args.relay_legs,
+                iters_per_leg=args.relay_iters, seed=0)
+        sampler = DeviceSampler(sim.circuit, shots=batch)
+        D = decoder._dsc.fault_check_matrix.shape[0]
+        F = decoder._dsc.fault_check_matrix.shape[1]
+        t0 = time.perf_counter()
+        fails = shots = unconv = relay_n = osd_n = overflow = 0
+        for j in range(n_calls):
+            key = jax.random.fold_in(jax.random.PRNGKey(300 + i), j)
+            rec = np.asarray(
+                sampler.sample_detectors(key, append_observables=True))
+            syndrome = rec[:, :D].astype(np.uint8)
+            logicals = rec[:, D:]
+            # stage 1: plain flooding BP on every shot
+            fault_set, post, conv, _it = bp_stage.decode_batch(syndrome)
+            fault_set = np.asarray(fault_set).copy()
+            post = np.asarray(post).copy()
+            conv = np.array(conv)  # writable copy (stage 2 merges into it)
+            unconv += int((~conv).sum())
+            # stage 2: relay ensemble on the compacted unconverged shots
+            uncv = np.nonzero(~conv)[0]
+            if relay is not None and uncv.size:
+                sel = uncv[: args.relay_cap]
+                pad = np.resize(sel, args.relay_cap)  # fixed shape, 1 compile
+                f2, p2, c2, _l = relay.decode_batch(syndrome[pad])
+                k = sel.size
+                fault_set[sel] = np.asarray(f2)[:k]
+                post[sel] = np.asarray(p2)[:k]
+                conv[sel] = np.asarray(c2)[:k]
+                relay_n += k
+                uncv = np.nonzero(~conv)[0]
+            # stage 3: host OSD on whatever both BP stages left
+            if args.osd_cap > 0 and uncv.size:
+                sel = uncv[: args.osd_cap]
+                fault_set[sel] = osd_decode_batch(
+                    Hf, syndrome[sel], post[sel], "osd0", 0)
+                osd_n += sel.size
+                overflow += uncv.size - sel.size
+            flips = (fault_set @ decoder._fault_map_T) % 2
+            corrected = (logicals + flips) % 2
+            fails += int(np.any(corrected != 0, axis=1).sum())
+            shots += rec.shape[0]
+        dt = time.perf_counter() - t0
+        low, high = wilson_interval(fails, shots)
+        rec_out = {
+            "noise": "circuit", "decode": "bpd_detector", "p_ph": p,
+            "failures": fails, "samples": shots, "ler": fails / shots,
+            "ler_ci_low": low, "ler_ci_high": high,
+            "bp_unconverged": unconv, "relay_decoded": relay_n,
+            "osd_decoded": osd_n,
+            "osd_overflow": overflow,
+            "relay_legs": args.relay_legs,
+            "detectors": int(D), "faults": int(F),
+            "walltime": dt,
+        }
+        print(json.dumps(rec_out), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec_out) + "\n")
+
+
+if __name__ == "__main__":
+    main()
