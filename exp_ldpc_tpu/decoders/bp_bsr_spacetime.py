@@ -66,7 +66,48 @@ from .bp_bsr import _BIG, _TILE, _VMEM_LIMIT, _phi, _round_up, BSRSchedule
 from .tanner import TannerELL
 from ..utils.compile_cache import enable_compilation_cache
 
-__all__ = ["SpacetimeBSRDecoder", "stbsr_decode", "fits_stbsr"]
+__all__ = ["SpacetimeBSRDecoder", "stbsr_decode", "stbsr_operands",
+           "fits_stbsr"]
+
+
+def stbsr_operands(sched: BSRSchedule, tanner: TannerELL, num_rounds: int,
+                   prior_llr_st: np.ndarray):
+    """Kernel prior operands from per-spacetime-column LLRs.
+
+    Returns ``(edge_prior ((R+1)*e_pad,), prior_t ((R+1)*128, n_vt),
+    mprior (R*C_pad, 1))`` float32 arrays — runtime arguments, so a sweep
+    can rebind probabilities without recompiling (the tile schedule is the
+    only compile-time structure).
+    """
+    R = int(num_rounds)
+    B = R + 1
+    r, n = tanner.num_checks, tanner.num_vars
+    C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
+    llr = np.asarray(prior_llr_st, dtype=np.float64)
+    data_llr = llr[: B * n].reshape(B, n)
+    meas_llr = llr[B * n:].reshape(R, r)
+
+    # per-edge init values: edge row s*C_pad + c of block b carries the
+    # prior of its variable (or +BIG on padding rows)
+    chk_vars = np.asarray(tanner.chk_vars)   # (r, Dc)
+    chk_mask = np.asarray(tanner.chk_mask)
+    edge_prior = np.full((B, Dc, C_pad), _BIG, np.float32)
+    vals = np.where(chk_mask[None], data_llr[:, chk_vars], _BIG)  # (B,r,Dc)
+    edge_prior[:, :, :r] = np.transpose(vals, (0, 2, 1))
+    edge_prior = edge_prior.reshape(B * Dc * C_pad)
+
+    # per-block data-prior column tables (flat-kernel layout)
+    dp = np.zeros((B, V_pad), np.float32)
+    dp[:, :n] = data_llr
+    prior_t = dp.reshape(B, V_pad // _TILE, _TILE).transpose(0, 2, 1)
+    prior_t = prior_t.reshape(B * _TILE, V_pad // _TILE)
+
+    # measurement priors, +BIG on check-padding rows (keeps padded
+    # measurement posteriors positive so parity never counts them)
+    mp = np.full((R, C_pad), _BIG, np.float32)
+    mp[:, :r] = meas_llr
+    mprior = mp.reshape(R * C_pad, 1)
+    return edge_prior, prior_t, mprior
 
 
 def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
@@ -526,35 +567,10 @@ class SpacetimeBSRDecoder:
             priors = np.full(n_st, error_rate)
         else:
             raise ValueError("need error_rate or channel_probs")
-        llr = priors_to_llr(priors)
-        data_llr = llr[: B * n].reshape(B, n)
-        meas_llr = llr[B * n:].reshape(R, r)
-
         tanner = TannerELL.from_check_matrix(H)
         sched = BSRSchedule.from_tanner(tanner)
-        C_pad, V_pad = sched.c_pad, sched.v_pad
-        Dc = sched.dc
-
-        # per-edge init values: edge row s*C_pad + c of block b carries the
-        # prior of its variable (or +BIG on padding rows)
-        chk_vars = np.asarray(tanner.chk_vars)   # (r, Dc)
-        chk_mask = np.asarray(tanner.chk_mask)
-        edge_prior = np.full((B, Dc, C_pad), _BIG, np.float32)
-        vals = np.where(chk_mask[None], data_llr[:, chk_vars], _BIG)  # (B,r,Dc)
-        edge_prior[:, :, :r] = np.transpose(vals, (0, 2, 1))
-        edge_prior = edge_prior.reshape(B * Dc * C_pad)
-
-        # per-block data-prior column tables (flat-kernel layout)
-        dp = np.zeros((B, V_pad), np.float32)
-        dp[:, :n] = data_llr
-        prior_t = dp.reshape(B, V_pad // _TILE, _TILE).transpose(0, 2, 1)
-        prior_t = prior_t.reshape(B * _TILE, V_pad // _TILE)
-
-        # measurement priors, +BIG on check-padding rows (keeps padded
-        # measurement posteriors positive so parity never counts them)
-        mp = np.full((R, C_pad), _BIG, np.float32)
-        mp[:, :r] = meas_llr
-        mprior = mp.reshape(R * C_pad, 1)
+        edge_prior, prior_t, mprior = stbsr_operands(
+            sched, tanner, R, priors_to_llr(priors))
 
         if max_iter <= 0:  # ldpc convention: default = column count
             max_iter = n_st

@@ -67,9 +67,14 @@ class StorageDecodePipeline:
     msg_dtype: str = "float32"
     # "auto": use the VMEM-resident Pallas spacetime kernel on real TPU
     # backends when it fits (measured 6.6x over the XLA path on 4-round
-    # HGP-225; f32, 100% hard-decision agreement); "xla" forces the XLA
-    # core; "pallas" forces the kernel (errors off-TPU)
+    # HGP-225; f32, 100% hard-decision agreement), or the STREAMED
+    # round-axis BSR kernel (decoders/bp_bsr_spacetime.py) for codes past
+    # the ~1 MiB dense-operand crossover — the large-code memory-experiment
+    # path (mode "bposd" only); "xla" forces the XLA core; "pallas" forces
+    # the VMEM kernel (errors off-TPU); "stbsr" forces the streamed kernel
     bp_backend: str = "auto"
+    # run the streamed kernel in Pallas interpret mode (CPU tests only)
+    stbsr_interpret: bool = False
     # > 0: the device step additionally ships (up to cap per device) the
     # syndromes+readouts of BP-unconverged shots to the host, where a full
     # BP+OSD decode replaces their plain-BP correction (the reference bposd
@@ -182,12 +187,53 @@ class StorageDecodePipeline:
                 raise ValueError("osd_fallback_cap exceeds shots_per_device")
             self._osd = self._build_osd_corrector()
 
-        self._pallas = self._resolve_backend()
+        self._stbsr_sched = self._resolve_stbsr()
+        self._pallas = False if self._stbsr_sched is not None \
+            else self._resolve_backend()
+        if self._stbsr_sched is not None:
+            self._prior = self._prior_tree()  # rebuild: stbsr operand form
         self._step = self._build()
+
+    def _resolve_stbsr(self):
+        """BSRSchedule for the streamed spacetime kernel, or None.
+
+        Selected for mode "bposd" past the dense-operand crossover on real
+        TPU backends (the dense structured formulation's one-hot pair is
+        the BASE code's and blows up with n — decoders/select.py); forced
+        by ``bp_backend="stbsr"`` (with ``stbsr_interpret`` off-TPU)."""
+        if self.mode != "bposd" or self.rounds < 1:
+            if self.bp_backend == "stbsr":
+                raise ValueError(
+                    "bp_backend='stbsr' needs mode='bposd' and rounds >= 1")
+            return None
+        if self.bp_backend not in ("auto", "stbsr"):
+            return None
+        if self.early_stop:
+            if self.bp_backend == "stbsr":
+                raise ValueError("bp_backend='stbsr' requires "
+                                 "early_stop=False (global-exit kernel)")
+            return None
+        from ..decoders.bp import _dense_ops_bytes
+        from ..decoders.bp_bsr import BSRSchedule
+        from ..decoders.select import _BSR_MIN_OPS_BYTES, _stbsr_usable
+
+        if self.bp_backend == "stbsr":
+            return BSRSchedule.from_tanner(self.tanner)
+        if (_dense_ops_bytes(self.tanner) >= _BSR_MIN_OPS_BYTES
+                and _stbsr_usable(self.tanner)):
+            return BSRSchedule.from_tanner(self.tanner)
+        return None
 
     def _prior_tree(self):
         """The runtime prior arguments for the current mode (a pytree)."""
         if self.mode == "bposd":
+            sched = getattr(self, "_stbsr_sched", None)
+            if sched is not None:
+                from ..decoders.bp_bsr_spacetime import stbsr_operands
+
+                ep, pt, mp = stbsr_operands(
+                    sched, self.tanner, self.rounds, self.prior_llr)
+                return (jnp.asarray(ep), jnp.asarray(pt), jnp.asarray(mp))
             return (jnp.asarray(self.prior_llr),)
         final = priors_to_llr(np.full(self.num_data, self.data_prior))
         if self.mode == "bposd_hybrid":
@@ -304,7 +350,9 @@ class StorageDecodePipeline:
             correction = jnp.mod(hard_f.T.astype(jnp.float32) + acc, 2.0)
         else:
             # spacetime-BP stage (modes "bposd" and "bposd_hybrid")
-            prior_main = prior_llr[0]
+            stbsr = self._stbsr_sched
+            if stbsr is None:
+                prior_main = prior_llr[0]
             dense_main = dense_ops[0]
             final = jnp.mod(readout @ self._Hz.T, 2.0)  # (S, r)
             synd = jnp.concatenate([history, final[:, None, :]], axis=1)
@@ -315,6 +363,17 @@ class StorageDecodePipeline:
 
             def run_stbp(s_in, n_iter):
                 """(S', Bst*r) syndromes -> (hard (S', Vst), conv (S',))."""
+                if stbsr is not None:
+                    from ..decoders.bp_bsr_spacetime import stbsr_decode
+
+                    method = {"ps": "ps", "psl": "ps", "ms": "ms",
+                              "msl": "ms"}[self.bp_method]
+                    h, _p, c, _i = stbsr_decode(
+                        stbsr, rounds, prior_llr[0], prior_llr[1],
+                        prior_llr[2], s_in.T, method, n_iter,
+                        float(self.ms_scaling_factor), False, 128,
+                        self.stbsr_interpret)
+                    return h.T, c
                 if self._pallas:
                     from ..decoders.spacetime_bp_pallas import stbp_pallas_fixed
 

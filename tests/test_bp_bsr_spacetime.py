@@ -137,6 +137,36 @@ def test_stbsr_in_bposd(hgp225):
     np.testing.assert_array_equal(par, synd)  # OSD guarantees validity
 
 
+def test_pipeline_stbsr_backend(hgp225):
+    """The production pipeline runs its spacetime stage on the streamed
+    kernel (bp_backend='stbsr'), counts matching the XLA core on the same
+    sampled records."""
+    import jax
+
+    from exp_ldpc_tpu.circuits.noise import depolarizing_noise
+    from exp_ldpc_tpu.parallel.pipeline import StorageDecodePipeline
+
+    p = 3e-3
+    kw = dict(code=hgp225, rounds=2, noise_model=depolarizing_noise(p, p),
+              data_prior=2 / 3 * p, meas_prior=2 / 3 * p,
+              shots_per_device=128, max_iter=16, bp_method="ms",
+              ms_scaling_factor=0.625)
+    key = jax.random.PRNGKey(7)
+    f_x, s_x, u_x = StorageDecodePipeline(**kw).run(key)
+    f_b, s_b, u_b = StorageDecodePipeline(
+        **kw, bp_backend="stbsr", stbsr_interpret=True).run(key)
+    assert s_x == s_b == 128
+    # same records; bf16 messages may flip convergence knife-edges
+    assert abs(f_x - f_b) <= max(2, 0.1 * max(f_x, f_b))
+    assert abs(u_x - u_b) <= max(2, 0.1 * max(u_x, u_b))
+
+    with pytest.raises(ValueError, match="bposd"):
+        StorageDecodePipeline(**{**kw, "mode": "bposd_hybrid"},
+                              bp_backend="stbsr")
+    with pytest.raises(ValueError, match="early_stop"):
+        StorageDecodePipeline(**kw, bp_backend="stbsr", early_stop=True)
+
+
 def test_make_spacetime_decoder_routing(hgp225, monkeypatch):
     """Selection: dense below the operand threshold, streamed BSR above it
     (on TPU); both produce the SpacetimeBPDecoder API."""
