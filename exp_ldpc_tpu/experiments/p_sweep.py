@@ -113,6 +113,10 @@ class _PipelineSweeper:
                 osd_options=opts,
                 use_x_logicals=self.use_x_logicals,
                 mode=self.mode,
+                # two-tier adaptive decode (mode "bposd"): short stage-1
+                # budget, fixed-shape redecode of the unconverged
+                tier1_iters=(int(opts.get("tier1_iters", 0) or 0)
+                             if self.mode == "bposd" else 0),
             )
         else:
             self.pipe.rebind_noise(noise, data_p, meas_p)
