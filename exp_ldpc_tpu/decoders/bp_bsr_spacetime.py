@@ -340,10 +340,10 @@ def _resolve_onehot(sched: BSRSchedule, shot_block: int,
 
 
 @partial(jax.jit, static_argnames=("sched", "num_rounds", "method",
-                                   "max_iter", "early_stop", "shot_block",
+                                   "early_stop", "shot_block",
                                    "interpret", "onehot_vmem"))
 def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
-                 mprior, syndromes, method: str, max_iter: int,
+                 mprior, syndromes, method: str, max_iter,
                  ms_scaling_factor, early_stop: bool = True,
                  shot_block: int = 128, interpret: bool = False,
                  onehot_vmem: Optional[bool] = None):
@@ -357,6 +357,12 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
     column tables, ``mprior`` (rounds*C_pad, 1) measurement-column LLRs
     (+BIG on padding rows) — all produced by
     :meth:`SpacetimeBSRDecoder.from_check_matrix`.
+
+    ``max_iter`` is a TRACED loop bound: one compiled program serves every
+    iteration budget (the Mosaic compile of the unrolled tile program is
+    the expensive resource through this environment's tunnel; the same
+    design as ``ShardedBSRDecoder``) — in particular the two budgets of a
+    two-tier adaptive decode share one compile.
     """
     enable_compilation_cache()
     C, V = sched.num_checks, sched.num_vars
@@ -471,28 +477,22 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
     post_m0 = jnp.zeros((R * C_pad, S_pad), jnp.float32)
     conv0 = jnp.zeros((S_pad,), bool)
 
-    if early_stop:
-        def cond(state):
-            it, _msg, _mlo, _mhi, _pd, _pm, conv = state
-            return (it < max_iter) & ~jnp.all(conv)
+    n_iter = jnp.asarray(max_iter, jnp.int32)
 
-        def body(state):
-            it, msg, mlo, mhi, _pd, _pm, _conv = state
-            msg, mlo, mhi, pd, pm, convf = one_iter(it, msg, mlo, mhi)
-            return (it + 1, msg, mlo, mhi, pd, pm, convf[0] > 0.5)
+    def cond(state):
+        it, _msg, _mlo, _mhi, _pd, _pm, conv = state
+        keep = it < n_iter
+        if early_stop:
+            keep = keep & ~jnp.all(conv)
+        return keep
 
-        it, _msg, _mlo, _mhi, post_d, post_m, conv = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), msg0, m0, m0, post_d0, post_m0,
-                         conv0))
-    else:
-        def fbody(it, state):
-            msg, mlo, mhi, _pd, _pm, _conv = state
-            msg, mlo, mhi, pd, pm, convf = one_iter(it, msg, mlo, mhi)
-            return (msg, mlo, mhi, pd, pm, convf[0] > 0.5)
+    def body(state):
+        it, msg, mlo, mhi, _pd, _pm, _conv = state
+        msg, mlo, mhi, pd, pm, convf = one_iter(it, msg, mlo, mhi)
+        return (it + 1, msg, mlo, mhi, pd, pm, convf[0] > 0.5)
 
-        _msg, _mlo, _mhi, post_d, post_m, conv = jax.lax.fori_loop(
-            0, max_iter, fbody, (msg0, m0, m0, post_d0, post_m0, conv0))
-        it = jnp.int32(max_iter)
+    it, _msg, _mlo, _mhi, post_d, post_m, conv = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), msg0, m0, m0, post_d0, post_m0, conv0))
 
     # SpacetimeCode column order: B*n data (round-major), then R*r meas
     pd_flat = post_d.reshape(B, V_pad, S_pad)[:, :V, :S].reshape(B * V, S)
