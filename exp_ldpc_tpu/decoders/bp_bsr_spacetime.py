@@ -299,6 +299,222 @@ def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
         conv_ref[:] = (conv_ref[:] < 0.5).astype(f32)
 
 
+def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
+                        mprior_ref, mask_r_ref, idx_ref, alpha_ref,
+                        m_start_ref, m_et_ref, m_t_ref,
+                        g_start_ref, g_vt_ref, g_t_ref,
+                        live_et_ref, live_slots_ref,
+                        msg_out_ref, mlo_out_ref, mhi_out_ref,
+                        post_d_ref, post_m_ref, conv_ref,
+                        c2lo_ref, pd_ref, hm_ref, oh_ref,
+                        *, sched: BSRSchedule, method: str,
+                        num_blocks: int):
+    """Dynamic-loop variant of :func:`_st_kernel_iter`: identical math and
+    accumulation order, but every per-tile / per-plane loop is a rolled
+    ``fori_loop`` over SMEM segment tables, so Mosaic compile time is O(1)
+    in the tile count.  The unrolled variant's straight-line tile code
+    compiles superlinearly and at ~700 tiles costs tens of minutes through
+    this environment's compile path — and unlike the VMEM-resident flat
+    kernel (where rolled loops lose 7x because Mosaic will not pipeline
+    dots on loop-carried dynamic slices), this kernel streams its blocks
+    through HBM, so the dot-issue penalty can hide under the DMA waits.
+    Prior/mask operands arrive ROW-major ((B*V_pad,1)/(e_pad,1)): dynamic
+    offsets must land on the sublane dimension.
+    """
+    C_pad, V_pad, Dc = sched.c_pad, sched.v_pad, sched.dc
+    n_cc = C_pad // _TILE
+    n_et = sched.e_pad // _TILE
+    n_vt = V_pad // _TILE
+    S = synd_ref.shape[1]
+    f32 = jnp.float32
+    b = pl.program_id(1)
+    B = num_blocks
+    ms = method == "ms"
+    has_hi = b > 0
+    has_lo = b < B - 1
+    alpha = alpha_ref[0]
+    n_loop_et = int(sched.dyn["live_et"].shape[0]) if ms else n_et
+    ID_HI, ID_LO = float(Dc), float(Dc + 1)
+
+    def rows128(start):
+        return pl.ds(pl.multiple_of(start, _TILE), _TILE)
+
+    @pl.when((pl.program_id(0) == 0) & (b == 0))
+    def _build_onehots():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+
+        def bo(t, _):
+            oh_ref[rows128(t * _TILE), :] = (
+                rows == idx_ref[pl.ds(t, 1), :]).astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, sched.num_tiles, bo, 0)
+
+    def oh(t):
+        return oh_ref[rows128(t * _TILE), :]
+
+    @pl.when(b == 0)
+    def _reset_step_state():
+        c2lo_ref[:] = jnp.zeros((C_pad, S), f32)
+        hm_ref[:] = jnp.zeros((C_pad, S), f32)
+        conv_ref[:] = jnp.zeros((8, S), f32)
+
+    def accum_bad(counts):
+        par2 = counts - 2.0 * jnp.floor(counts * 0.5)
+        badc = jnp.sum(par2, axis=0, keepdims=True)
+        conv_ref[:] = conv_ref[:] + jnp.broadcast_to(badc, (8, S))
+
+    # ---- check update + measurement var b-1 update, per chunk
+    def cc_body(cc, _):
+        cr = rows128(cc * _TILE)
+        synd_sign = 1.0 - 2.0 * synd_ref[cr, :].astype(f32)
+        v_hi = jnp.where(has_hi, mhi_ref[cr, :].astype(f32), _BIG)
+        v_lo = jnp.where(has_lo, mlo_ref[cr, :].astype(f32), _BIG)
+
+        def prow(s):
+            return rows128(s * C_pad + cc * _TILE)
+
+        if method == "ps":
+            def p1(s, carry):
+                tsign, tot = carry
+                p = msg_ref[prow(s), :].astype(f32)
+                return (tsign * jnp.where(p < 0, -1.0, 1.0),
+                        tot + _phi(jnp.abs(p)))
+
+            tsign, tot = jax.lax.fori_loop(
+                0, Dc, p1, (synd_sign, jnp.zeros_like(synd_sign)))
+            for v in (v_hi, v_lo):
+                tsign = tsign * jnp.where(v < 0, -1.0, 1.0)
+                tot = tot + _phi(jnp.abs(v))
+
+            def extr(p):
+                return (tsign * jnp.where(p < 0, -1.0, 1.0)
+                        * _phi(tot - _phi(jnp.abs(p))))
+
+            def p2(s, _):
+                msg_out_ref[prow(s), :] = extr(
+                    msg_ref[prow(s), :].astype(f32)).astype(jnp.bfloat16)
+                return 0
+
+            jax.lax.fori_loop(0, Dc, p2, 0)
+            ext_hi = extr(v_hi)
+            ext_lo = extr(v_lo)
+        else:
+            n_s = live_slots_ref[cc]
+            init = (synd_sign, jnp.full((_TILE, S), _BIG, f32),
+                    jnp.full((_TILE, S), _BIG, f32),
+                    jnp.full((_TILE, S), -1.0, f32))
+
+            def p1(s, carry):
+                tsign, min1, min2, arg = carry
+                p = msg_ref[prow(s), :].astype(f32)
+                tsign = tsign * jnp.where(p < 0, -1.0, 1.0)
+                m = jnp.abs(p)
+                lt = m < min1
+                min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+                arg = jnp.where(lt, s.astype(f32), arg)
+                min1 = jnp.where(lt, m, min1)
+                return tsign, min1, min2, arg
+
+            tsign, min1, min2, arg = jax.lax.fori_loop(0, n_s, p1, init)
+            for v, sid in ((v_hi, ID_HI), (v_lo, ID_LO)):
+                tsign = tsign * jnp.where(v < 0, -1.0, 1.0)
+                m = jnp.abs(v)
+                lt = m < min1
+                min2 = jnp.where(lt, min1, jnp.minimum(min2, m))
+                arg = jnp.where(lt, sid, arg)
+                min1 = jnp.where(lt, m, min1)
+
+            def extr_ms(p, sid):
+                return (tsign * jnp.where(p < 0, -1.0, 1.0)
+                        * jnp.where(arg == sid, min2, min1) * alpha)
+
+            def p2(s, _):
+                p = msg_ref[prow(s), :].astype(f32)
+                msg_out_ref[prow(s), :] = extr_ms(
+                    p, s.astype(f32)).astype(jnp.bfloat16)
+                return 0
+
+            jax.lax.fori_loop(0, n_s, p2, 0)
+            ext_hi = extr_ms(v_hi, ID_HI)
+            ext_lo = extr_ms(v_lo, ID_LO)
+
+        @pl.when(has_hi)
+        def _meas_update():
+            c2lo_prev = c2lo_ref[cr, :]
+            mp = jnp.broadcast_to(mprior_ref[cr, :], (_TILE, S))
+            pm = mp + c2lo_prev + ext_hi
+            mlo_out_ref[cr, :] = (pm - c2lo_prev).astype(jnp.bfloat16)
+            mhi_out_ref[cr, :] = (pm - ext_hi).astype(jnp.bfloat16)
+            post_m_ref[cr, :] = pm
+            hm_fresh = (pm <= 0).astype(f32)
+            accum_bad(pd_ref[cr, :] + hm_ref[cr, :] + hm_fresh)
+            hm_ref[cr, :] = hm_fresh
+
+        c2lo_ref[cr, :] = ext_lo
+        return 0
+
+    jax.lax.fori_loop(0, n_cc, cc_body, 0)
+
+    # ---- variable totals: segment loop over routed tiles
+    def vt_body(vt, _):
+        tot = jnp.broadcast_to(prior_r_ref[rows128(vt * _TILE), :],
+                               (_TILE, S))
+
+        def inner(k, tot):
+            return tot + jnp.dot(
+                oh(m_t_ref[k]), msg_out_ref[rows128(m_et_ref[k] * _TILE), :],
+                preferred_element_type=f32)
+
+        tot = jax.lax.fori_loop(m_start_ref[vt], m_start_ref[vt + 1],
+                                inner, tot)
+        post_d_ref[rows128(vt * _TILE), :] = tot
+        return 0
+
+    jax.lax.fori_loop(0, n_vt, vt_body, 0)
+
+    # ---- edge broadcast + this block's data parity
+    def pd_seed(cc, _):
+        cr = rows128(cc * _TILE)
+        pd_ref[cr, :] = synd_ref[cr, :].astype(f32)
+        return 0
+
+    jax.lax.fori_loop(0, n_cc, pd_seed, 0)
+
+    def et_body(k, _):
+        et = live_et_ref[k] if ms else k
+        acc = jnp.broadcast_to(mask_r_ref[rows128(et * _TILE), :], (_TILE, S))
+
+        def inner(j, acc):
+            pb = post_d_ref[rows128(g_vt_ref[j] * _TILE), :].astype(
+                jnp.bfloat16)
+            return acc + jax.lax.dot_general(
+                oh(g_t_ref[j]), pb, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+        acc = jax.lax.fori_loop(g_start_ref[et], g_start_ref[et + 1],
+                                inner, acc)
+        coff = rows128((et % n_cc) * _TILE)
+        pd_ref[coff, :] = pd_ref[coff, :] + (acc <= 0.0).astype(f32)
+        erow = rows128(et * _TILE)
+        msg_out_ref[erow, :] = (
+            acc - msg_out_ref[erow, :].astype(f32)).astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, n_loop_et, et_body, 0)
+
+    # ---- last block: finalize its own parity, rewrite conv to 0/1 flags
+    @pl.when(b == B - 1)
+    def _finalize():
+        def fb(cc, _):
+            cr = rows128(cc * _TILE)
+            accum_bad(pd_ref[cr, :] + hm_ref[cr, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_cc, fb, 0)
+        conv_ref[:] = (conv_ref[:] < 0.5).astype(f32)
+
+
 def fits_stbsr_sched(sched: BSRSchedule, shot_block: int = 128,
                      vmem_budget_bytes: int = 100 * 2**20,
                      onehot_vmem: bool = True) -> bool:
@@ -339,14 +555,25 @@ def _resolve_onehot(sched: BSRSchedule, shot_block: int,
     return fits_stbsr_sched(sched, shot_block, onehot_vmem=True)
 
 
+# tile count above which auto loop_mode takes the rolled dynamic kernel.
+# Unlike the flat VMEM-resident kernel (7x slower rolled), this kernel
+# streams blocks through HBM, so the unrolled variant's pipelining edge is
+# bounded by the bandwidth wall while its Mosaic compile grows superlinearly
+# (measured: >30 min at 692 tiles through this environment's compile path
+# vs seconds rolled); the threshold keeps straight-line code only for
+# small schedules where compiles stay cheap.
+_ST_DYN_MIN_TILES = 64
+
+
 @partial(jax.jit, static_argnames=("sched", "num_rounds", "method",
                                    "early_stop", "shot_block",
-                                   "interpret", "onehot_vmem"))
+                                   "interpret", "onehot_vmem", "loop_mode"))
 def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
                  mprior, syndromes, method: str, max_iter,
                  ms_scaling_factor, early_stop: bool = True,
                  shot_block: int = 128, interpret: bool = False,
-                 onehot_vmem: Optional[bool] = None):
+                 onehot_vmem: Optional[bool] = None,
+                 loop_mode: str = "auto"):
     """syndromes ((rounds+1)*r, S) uint8 in SpacetimeCode row order ->
     (hard (Vst, S) uint8, posterior (Vst, S) f32, converged (S,) bool,
     iters (S,) int32), Vst = (rounds+1)*n + rounds*r in SpacetimeCode
@@ -388,9 +615,15 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
     m0 = jnp.broadcast_to(jnp.asarray(mprior, jnp.float32),
                           (R * C_pad, S_pad)).astype(jnp.bfloat16)
 
-    use_oh = _resolve_onehot(sched, shot_block, onehot_vmem)
-    kernel = partial(_st_kernel_iter, sched=sched, method=method,
-                     num_blocks=B)
+    if loop_mode == "auto":
+        mode = ("dynamic" if sched.num_tiles >= _ST_DYN_MIN_TILES
+                else "unrolled")
+    elif loop_mode in ("unrolled", "dynamic"):
+        mode = loop_mode
+    else:
+        raise ValueError(f"unknown loop_mode {loop_mode!r}")
+    use_oh = (True if mode == "dynamic"
+              else _resolve_onehot(sched, shot_block, onehot_vmem))
 
     grid = (S_pad // shot_block, B)
     n_vt = V_pad // _TILE
@@ -445,6 +678,37 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
         scratch.append(
             pltpu.VMEM((sched.num_tiles * _TILE, _TILE), jnp.bfloat16))
 
+    prior_t = jnp.asarray(prior_t, jnp.float32)
+    mprior_arr = jnp.asarray(mprior, jnp.float32)
+    idx = jnp.asarray(sched.idx)
+
+    if mode == "dynamic":
+        kernel = partial(_st_kernel_iter_dyn, sched=sched, method=method,
+                         num_blocks=B)
+        # row-major prior/mask: dynamic offsets must land on sublanes
+        prior_r = prior_t.reshape(B, _TILE, n_vt).transpose(0, 2, 1) \
+            .reshape(B * V_pad, 1)
+        mask_r = jnp.asarray(sched.mask_t.T.reshape(-1, 1))
+        in_specs[4] = pl.BlockSpec((V_pad, 1), lambda s, b: (b, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs[6] = pl.BlockSpec(mask_r.shape, lambda s, b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        dyn = sched.dyn
+        dyn_names = ("m_start", "m_et", "m_t", "g_start", "g_vt", "g_t",
+                     "live_et", "live_slots")
+        smem = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda s, b: tuple(0 for _ in shape),
+            memory_space=pltpu.SMEM)
+        in_specs = in_specs + [smem(dyn[k].shape) for k in dyn_names]
+        dyn_args = tuple(jnp.asarray(dyn[k]) for k in dyn_names)
+        fixed_args = (synd, prior_r, mprior_arr, mask_r, idx)
+    else:
+        kernel = partial(_st_kernel_iter, sched=sched, method=method,
+                         num_blocks=B)
+        dyn_args = ()
+        fixed_args = (synd, prior_t, mprior_arr,
+                      jnp.asarray(sched.mask_t), idx)
+
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -458,20 +722,13 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
         interpret=interpret,
     )
 
-    adaptive = float(0.0)  # placeholder; adaptivity decided per iteration
     msf = jnp.asarray(ms_scaling_factor, jnp.float32)
-
-    prior_t = jnp.asarray(prior_t, jnp.float32)
-    mprior_arr = jnp.asarray(mprior, jnp.float32)
-    mask_t = jnp.asarray(sched.mask_t)
-    idx = jnp.asarray(sched.idx)
 
     def one_iter(it, msg, mlo, mhi):
         alpha = jnp.where(msf == 0.0,
                           1.0 - 2.0 ** (-(it + 1).astype(jnp.float32)),
                           msf).reshape(1)
-        return call(msg, mlo, mhi, synd, prior_t, mprior_arr, mask_t, idx,
-                    alpha)
+        return call(msg, mlo, mhi, *fixed_args, alpha, *dyn_args)
 
     post_d0 = jnp.zeros((B * V_pad, S_pad), jnp.float32)
     post_m0 = jnp.zeros((R * C_pad, S_pad), jnp.float32)
@@ -526,6 +783,9 @@ class SpacetimeBSRDecoder:
     shot_block: int = 128
     interpret: bool = False
     onehot_vmem: Optional[bool] = None
+    # "auto" (dynamic rolled loops above _ST_DYN_MIN_TILES), "unrolled",
+    # "dynamic"; pure compile-time/scheduling choice
+    loop_mode: str = "auto"
 
     def __post_init__(self):
         method = {"ps": "ps", "psl": "ps", "ms": "ms", "msl": "ms"}.get(self.method)
@@ -548,6 +808,7 @@ class SpacetimeBSRDecoder:
         shot_block: int = 128,
         interpret: bool = False,
         onehot_vmem: Optional[bool] = None,
+        loop_mode: str = "auto",
         **_ignored,
     ) -> "SpacetimeBSRDecoder":
         """H is the BASE check matrix (r, n); priors are per spacetime
@@ -580,6 +841,7 @@ class SpacetimeBSRDecoder:
             method=bp_method, ms_scaling_factor=float(ms_scaling_factor),
             early_stop=early_stop, shot_block=shot_block,
             interpret=interpret, onehot_vmem=onehot_vmem,
+            loop_mode=loop_mode,
         )
 
     def decode_batch(self, syndromes: np.ndarray):
@@ -592,7 +854,7 @@ class SpacetimeBSRDecoder:
             jnp.asarray(self.mprior), jnp.asarray(syndromes.T),
             self.method, self.max_iter, float(self.ms_scaling_factor),
             self.early_stop, self.shot_block, self.interpret,
-            self.onehot_vmem,
+            self.onehot_vmem, self.loop_mode,
         )
         return (np.asarray(hard).T, np.asarray(post).T,
                 np.asarray(conv), np.asarray(iters))

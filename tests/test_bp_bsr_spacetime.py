@@ -92,6 +92,24 @@ def test_stbsr_early_exit(hgp225):
     assert ok.all()
 
 
+@pytest.mark.parametrize("method", ["ms", "ps"])
+def test_stbsr_dynamic_matches_unrolled(hgp225, method):
+    """The rolled dynamic-loop kernel is bit-identical to the unrolled
+    straight-line kernel (same math, same accumulation order)."""
+    H = hgp225.checks.z
+    Hst, synd, prior = _spacetime_setup(H, 3, 0.01, 24, 21)
+    kw = dict(channel_probs=prior, max_iter=8, bp_method=method,
+              ms_scaling_factor=0.625 if method == "ms" else 0.0,
+              early_stop=False, interpret=True)
+    h_u, p_u, c_u, _ = SpacetimeBSRDecoder.from_check_matrix(
+        H, 3, loop_mode="unrolled", **kw).decode_batch(synd)
+    h_d, p_d, c_d, _ = SpacetimeBSRDecoder.from_check_matrix(
+        H, 3, loop_mode="dynamic", **kw).decode_batch(synd)
+    np.testing.assert_array_equal(h_u, h_d)
+    np.testing.assert_array_equal(c_u, c_d)
+    np.testing.assert_allclose(p_u, p_d, rtol=0, atol=0)
+
+
 def test_stbsr_option_validation(hgp225):
     H = hgp225.checks.z
     with pytest.raises(ValueError, match="num_rounds"):
