@@ -164,7 +164,7 @@ def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
     @pl.when(b == 0)
     def _reset_step_state():
         c2lo_ref[:] = jnp.zeros((C_pad, S), f32)
-        hm_ref[:] = jnp.zeros((C_pad, S), f32)
+        hm_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
         conv_ref[:] = jnp.zeros((8, S), f32)
 
     def crows(cc):
@@ -257,8 +257,10 @@ def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
             hm_fresh = (pm <= 0).astype(f32)
             # finalize block b-1's parity: data counts + syndrome (both in
             # pd_ref) + hard decisions of its two measurement neighbors
-            accum_bad(pd_ref[cr, :] + hm_ref[cr, :] + hm_fresh)
-            hm_ref[cr, :] = hm_fresh
+            # (bf16 panels: counts <= Dc+3, exact)
+            accum_bad(pd_ref[cr, :].astype(f32) + hm_ref[cr, :].astype(f32)
+                      + hm_fresh)
+            hm_ref[cr, :] = hm_fresh.astype(jnp.bfloat16)
 
         c2lo_ref[cr, :] = ext_lo
 
@@ -272,7 +274,7 @@ def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
 
     # ---- edge broadcast (transposed tiles) + this block's data parity
     for cc in range(n_cc):
-        pd_ref[crows(cc), :] = synd_ref[crows(cc), :].astype(f32)
+        pd_ref[crows(cc), :] = synd_ref[crows(cc), :].astype(jnp.bfloat16)
     for et, pairs in enumerate(sched.sched_g):
         if skip_dead and not pairs:
             continue
@@ -284,7 +286,8 @@ def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
                 preferred_element_type=f32)
         coff = (et * _TILE) % C_pad
         pd_ref[coff:coff + _TILE, :] = (
-            pd_ref[coff:coff + _TILE, :] + (acc <= 0.0).astype(f32))
+            pd_ref[coff:coff + _TILE, :].astype(f32)
+            + (acc <= 0.0).astype(f32)).astype(jnp.bfloat16)
         rows = erows(et)
         msg_out_ref[rows, :] = (
             acc - msg_out_ref[rows, :].astype(f32)).astype(jnp.bfloat16)
@@ -295,7 +298,8 @@ def _st_kernel_iter(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_t_ref,
     @pl.when(b == B - 1)
     def _finalize():
         for cc in range(n_cc):
-            accum_bad(pd_ref[crows(cc), :] + hm_ref[crows(cc), :])
+            accum_bad(pd_ref[crows(cc), :].astype(f32)
+                      + hm_ref[crows(cc), :].astype(f32))
         conv_ref[:] = (conv_ref[:] < 0.5).astype(f32)
 
 
@@ -306,7 +310,7 @@ def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
                         live_et_ref, live_slots_ref,
                         msg_out_ref, mlo_out_ref, mhi_out_ref,
                         post_d_ref, post_m_ref, conv_ref,
-                        c2lo_ref, pd_ref, hm_ref, oh_ref,
+                        c2lo_ref, pd_ref, hm_ref, oh_ref=None,
                         *, sched: BSRSchedule, method: str,
                         num_blocks: int):
     """Dynamic-loop variant of :func:`_st_kernel_iter`: identical math and
@@ -339,24 +343,31 @@ def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
     def rows128(start):
         return pl.ds(pl.multiple_of(start, _TILE), _TILE)
 
-    @pl.when((pl.program_id(0) == 0) & (b == 0))
-    def _build_onehots():
-        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+    if oh_ref is not None:
+        @pl.when((pl.program_id(0) == 0) & (b == 0))
+        def _build_onehots():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
 
-        def bo(t, _):
-            oh_ref[rows128(t * _TILE), :] = (
-                rows == idx_ref[pl.ds(t, 1), :]).astype(jnp.bfloat16)
-            return 0
+            def bo(t, _):
+                oh_ref[rows128(t * _TILE), :] = (
+                    rows == idx_ref[pl.ds(t, 1), :]).astype(jnp.bfloat16)
+                return 0
 
-        jax.lax.fori_loop(0, sched.num_tiles, bo, 0)
+            jax.lax.fori_loop(0, sched.num_tiles, bo, 0)
 
-    def oh(t):
-        return oh_ref[rows128(t * _TILE), :]
+        def oh(t):
+            return oh_ref[rows128(t * _TILE), :]
+    else:
+        # on-the-fly build from a dynamic tile id (saves the
+        # tiles*128*128 scratch where VMEM is the binding constraint)
+        def oh(t):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+            return (rows == idx_ref[pl.ds(t, 1), :]).astype(jnp.bfloat16)
 
     @pl.when(b == 0)
     def _reset_step_state():
         c2lo_ref[:] = jnp.zeros((C_pad, S), f32)
-        hm_ref[:] = jnp.zeros((C_pad, S), f32)
+        hm_ref[:] = jnp.zeros((C_pad, S), jnp.bfloat16)
         conv_ref[:] = jnp.zeros((8, S), f32)
 
     def accum_bad(counts):
@@ -448,8 +459,9 @@ def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
             mhi_out_ref[cr, :] = (pm - ext_hi).astype(jnp.bfloat16)
             post_m_ref[cr, :] = pm
             hm_fresh = (pm <= 0).astype(f32)
-            accum_bad(pd_ref[cr, :] + hm_ref[cr, :] + hm_fresh)
-            hm_ref[cr, :] = hm_fresh
+            accum_bad(pd_ref[cr, :].astype(f32) + hm_ref[cr, :].astype(f32)
+                      + hm_fresh)
+            hm_ref[cr, :] = hm_fresh.astype(jnp.bfloat16)
 
         c2lo_ref[cr, :] = ext_lo
         return 0
@@ -476,7 +488,7 @@ def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
     # ---- edge broadcast + this block's data parity
     def pd_seed(cc, _):
         cr = rows128(cc * _TILE)
-        pd_ref[cr, :] = synd_ref[cr, :].astype(f32)
+        pd_ref[cr, :] = synd_ref[cr, :].astype(jnp.bfloat16)
         return 0
 
     jax.lax.fori_loop(0, n_cc, pd_seed, 0)
@@ -495,7 +507,8 @@ def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
         acc = jax.lax.fori_loop(g_start_ref[et], g_start_ref[et + 1],
                                 inner, acc)
         coff = rows128((et % n_cc) * _TILE)
-        pd_ref[coff, :] = pd_ref[coff, :] + (acc <= 0.0).astype(f32)
+        pd_ref[coff, :] = (pd_ref[coff, :].astype(f32)
+                           + (acc <= 0.0).astype(f32)).astype(jnp.bfloat16)
         erow = rows128(et * _TILE)
         msg_out_ref[erow, :] = (
             acc - msg_out_ref[erow, :].astype(f32)).astype(jnp.bfloat16)
@@ -508,7 +521,7 @@ def _st_kernel_iter_dyn(msg_ref, mlo_ref, mhi_ref, synd_ref, prior_r_ref,
     def _finalize():
         def fb(cc, _):
             cr = rows128(cc * _TILE)
-            accum_bad(pd_ref[cr, :] + hm_ref[cr, :])
+            accum_bad(pd_ref[cr, :].astype(f32) + hm_ref[cr, :].astype(f32))
             return 0
 
         jax.lax.fori_loop(0, n_cc, fb, 0)
@@ -551,8 +564,13 @@ def _resolve_onehot(sched: BSRSchedule, shot_block: int,
     if onehot_vmem is not None:
         return bool(onehot_vmem)
     # prefer materialized tiles (saves ~tiles*128^2 VPU ops per pass) when
-    # the budget admits them alongside the streaming windows
-    return fits_stbsr_sched(sched, shot_block, onehot_vmem=True)
+    # the budget admits them alongside the streaming windows.  85 MiB is
+    # hardware-calibrated: Mosaic's true residency runs ~1.4x this
+    # estimator (n=10000 estimated 93 MiB, measured 132.8 > the 128 MiB
+    # physical VMEM; n=4862 estimated 74 MiB runs) — the margin keeps
+    # materialization exactly where it is known to fit
+    return fits_stbsr_sched(sched, shot_block,
+                            vmem_budget_bytes=85 * 2**20, onehot_vmem=True)
 
 
 # tile count above which auto loop_mode takes the rolled dynamic kernel.
@@ -622,8 +640,7 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
         mode = loop_mode
     else:
         raise ValueError(f"unknown loop_mode {loop_mode!r}")
-    use_oh = (True if mode == "dynamic"
-              else _resolve_onehot(sched, shot_block, onehot_vmem))
+    use_oh = _resolve_onehot(sched, shot_block, onehot_vmem)
 
     grid = (S_pad // shot_block, B)
     n_vt = V_pad // _TILE
@@ -670,9 +687,9 @@ def stbsr_decode(sched: BSRSchedule, num_rounds: int, edge_prior, prior_t,
         jax.ShapeDtypeStruct((8, S_pad), jnp.float32),
     ]
     scratch = [
-        pltpu.VMEM((C_pad, shot_block), jnp.float32),  # c2lo rotation
-        pltpu.VMEM((C_pad, shot_block), jnp.float32),  # parity counts
-        pltpu.VMEM((C_pad, shot_block), jnp.float32),  # meas hard rotation
+        pltpu.VMEM((C_pad, shot_block), jnp.float32),   # c2lo rotation
+        pltpu.VMEM((C_pad, shot_block), jnp.bfloat16),  # parity counts
+        pltpu.VMEM((C_pad, shot_block), jnp.bfloat16),  # meas hard rotation
     ]
     if use_oh:
         scratch.append(
