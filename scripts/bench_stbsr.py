@@ -51,12 +51,13 @@ def bench_decode(name, H, rounds, shots, iters_lo, iters_hi, out):
     Hst = st.spacetime_check_matrix.tocsr()
     n_st = Hst.shape[1]
     p = 1e-3
-    HstT = Hst.T.toarray().astype(np.int64)
 
     def synd_batch(seed):
+        # sparse spacetime matvec: the dense (n_st x rows) operator is
+        # ~11 GB at n=10000 and would dominate the bench on the host
         rng = np.random.default_rng(seed)
-        err = (rng.random((shots, n_st)) < p).astype(np.uint8)
-        return ((err @ HstT) % 2).astype(np.uint8)
+        err = (rng.random((shots, n_st)) < p).astype(np.int64)
+        return np.asarray((Hst @ err.T).T % 2).astype(np.uint8)
 
     dec = {}
     compile_s = {}
@@ -71,7 +72,7 @@ def bench_decode(name, H, rounds, shots, iters_lo, iters_hi, out):
     # validity on the warmup batch of the hi-iters decoder
     sb = synd_batch(999)
     hard, _post, conv, _i = dec[iters_hi].decode_batch(sb)
-    par = (hard.astype(np.int64) @ HstT) % 2
+    par = np.asarray((Hst @ hard.astype(np.int64).T).T % 2)
     ok = (par == sb).all(axis=1)
     assert (ok == conv).all(), "convergence flags are not honest"
     conv_frac = float(conv.mean())
