@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--batch-shots", type=int, default=8192)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--p-grid", type=str, default="(1.5e-4,1.2e-3,6)")
+    ap.add_argument("--p-list", type=str, default=None,
+                    help="comma-separated explicit p values (overrides "
+                         "--p-grid; use to match another curve's grid)")
     ap.add_argument("--max-iter", type=int, default=48)
     ap.add_argument("--relay-legs", type=int, default=12,
                     help="relay-BP ensemble legs for the stage-2 redecode "
@@ -62,8 +65,11 @@ def main():
     from exp_ldpc_tpu.experiments.p_sweep import parse_sweep_spec
     from exp_ldpc_tpu.sampler.device import DeviceSampler
 
-    lo, hi, pts = parse_sweep_spec(args.p_grid)
-    p_grid = np.geomspace(lo, hi, pts)
+    if args.p_list:
+        p_grid = np.asarray([float(x) for x in args.p_list.split(",")])
+    else:
+        lo, hi, pts = parse_sweep_spec(args.p_grid)
+        p_grid = np.geomspace(lo, hi, pts)
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
 
     batch = args.batch_shots
