@@ -41,6 +41,9 @@ def main():
                     help="comma-separated explicit p values (overrides "
                          "--p-grid; use to match another curve's grid)")
     ap.add_argument("--max-iter", type=int, default=48)
+    ap.add_argument("--msf", type=float, default=0.0,
+                    help="stage-1 min-sum scaling (0 = adaptive; measured "
+                         "2x fewer unconverged than 0.625 on DEM matrices)")
     ap.add_argument("--relay-legs", type=int, default=12,
                     help="relay-BP ensemble legs for the stage-2 redecode "
                          "of stage-1-unconverged shots (0 = skip relay)")
@@ -80,7 +83,7 @@ def main():
         dem = detector_error_model(sim.circuit)
         decoder = BPDetectorCorrect(dem, {
             "max_iter": args.max_iter, "bp_method": "ms",
-            "ms_scaling_factor": 0.625})
+            "ms_scaling_factor": args.msf})
         bp_stage = decoder._bpd
         Hf = decoder._dsc.fault_check_matrix
         relay = None
@@ -94,6 +97,18 @@ def main():
         sampler = DeviceSampler(sim.circuit, shots=batch)
         D = decoder._dsc.fault_check_matrix.shape[0]
         F = decoder._dsc.fault_check_matrix.shape[1]
+        import jax.numpy as jnp
+
+        # fault->observable map on device: flips are computed where the
+        # fault vectors live, so only (S, L) bits ever cross the tunnel
+        # (naively shipping fault_set+posterior is ~190 MB per 1024-shot
+        # batch and dominated the first version of this campaign)
+        fmapT_dev = jnp.asarray(decoder._fault_map_T, jnp.float32)
+
+        def dev_flips(fset):
+            return np.asarray(jnp.mod(
+                fset.astype(jnp.float32) @ fmapT_dev, 2.0)).astype(np.int64)
+
         t0 = time.perf_counter()
         fails = shots = unconv = relay_n = osd_n = overflow = 0
         for j in range(n_calls):
@@ -101,33 +116,45 @@ def main():
             rec = np.asarray(
                 sampler.sample_detectors(key, append_observables=True))
             syndrome = rec[:, :D].astype(np.uint8)
-            logicals = rec[:, D:]
-            # stage 1: plain flooding BP on every shot
-            fault_set, post, conv, _it = bp_stage.decode_batch(syndrome)
-            fault_set = np.asarray(fault_set).copy()
-            post = np.asarray(post).copy()
-            conv = np.array(conv)  # writable copy (stage 2 merges into it)
+            logicals = rec[:, D:].astype(np.int64)
+            # stage 1: plain flooding BP on every shot (device-resident)
+            f1, p1, c1, _it = bp_stage.decode_batch(syndrome)
+            flips = dev_flips(f1)          # (S, L)
+            conv = np.array(c1)
             unconv += int((~conv).sum())
             # stage 2: relay ensemble on the compacted unconverged shots
             uncv = np.nonzero(~conv)[0]
+            p_osd_src = None
             if relay is not None and uncv.size:
                 sel = uncv[: args.relay_cap]
                 pad = np.resize(sel, args.relay_cap)  # fixed shape, 1 compile
                 f2, p2, c2, _l = relay.decode_batch(syndrome[pad])
                 k = sel.size
-                fault_set[sel] = np.asarray(f2)[:k]
-                post[sel] = np.asarray(p2)[:k]
+                flips[sel] = dev_flips(f2)[:k]
                 conv[sel] = np.asarray(c2)[:k]
                 relay_n += k
+                p_osd_src = (sel, p2)  # device posterior rows for stage 3
                 uncv = np.nonzero(~conv)[0]
-            # stage 3: host OSD on whatever both BP stages left
+            # stage 3: host OSD on whatever both BP stages left; posteriors
+            # gathered on device, only the selected rows transferred
             if args.osd_cap > 0 and uncv.size:
                 sel = uncv[: args.osd_cap]
-                fault_set[sel] = osd_decode_batch(
-                    Hf, syndrome[sel], post[sel], "osd0", 0)
+                if p_osd_src is not None:
+                    r_sel, p2 = p_osd_src
+                    pos = {int(s): q for q, s in enumerate(r_sel)}
+                    rows = np.asarray([pos.get(int(s), -1) for s in sel])
+                    post_sel = np.where(
+                        (rows >= 0)[:, None],
+                        np.asarray(jnp.asarray(p2)[jnp.asarray(
+                            np.maximum(rows, 0))]),
+                        np.asarray(jnp.asarray(p1)[jnp.asarray(sel)]))
+                else:
+                    post_sel = np.asarray(jnp.asarray(p1)[jnp.asarray(sel)])
+                f3 = osd_decode_batch(Hf, syndrome[sel], post_sel, "osd0", 0)
+                flips[sel] = (f3.astype(np.int64)
+                              @ decoder._fault_map_T.astype(np.int64)) % 2
                 osd_n += sel.size
                 overflow += uncv.size - sel.size
-            flips = (fault_set @ decoder._fault_map_T) % 2
             corrected = (logicals + flips) % 2
             fails += int(np.any(corrected != 0, axis=1).sum())
             shots += rec.shape[0]
