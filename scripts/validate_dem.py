@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--p-list", type=str, default=None,
                     help="comma-separated explicit p values (overrides "
                          "--p-grid; use to match another curve's grid)")
+    ap.add_argument("--samples-list", type=str, default=None,
+                    help="comma-separated per-point sample counts matching "
+                         "--p-list (high-p points are cascade-bound: ~half "
+                         "of all shots hit host OSD at p=1.2e-3, so a flat "
+                         "budget wastes the cheap low-p regime)")
     ap.add_argument("--max-iter", type=int, default=48)
     ap.add_argument("--msf", type=float, default=0.0,
                     help="stage-1 min-sum scaling (0 = adaptive; measured "
@@ -76,8 +81,13 @@ def main():
     code = biregular_hgp(12, 3, 4, seed=0, compute_logicals=True)
 
     batch = args.batch_shots
-    n_calls = -(-args.samples // batch)
+    if args.samples_list:
+        samples_grid = [int(x) for x in args.samples_list.split(",")]
+        assert len(samples_grid) == p_grid.size
+    else:
+        samples_grid = [args.samples] * p_grid.size
     for i, p in enumerate(p_grid):
+        n_calls = -(-samples_grid[i] // batch)
         p = float(p)
         sim = build_storage_simulation(args.rounds, circuit_noise(p, p), code)
         dem = detector_error_model(sim.circuit)
@@ -111,6 +121,14 @@ def main():
 
         t0 = time.perf_counter()
         fails = shots = unconv = relay_n = osd_n = overflow = 0
+        # stage 1 streams over sampler batches; the unconverged residue
+        # (syndrome rows + logical/flip slots) accumulates on the host and
+        # is redecoded ONCE per point in compacted relay_cap chunks.  The
+        # per-batch version ran the full fixed-shape relay ensemble every
+        # batch even when 5 shots needed it — at low p that was ~98 relay
+        # dispatches per point doing ~2 batches of real work.
+        res_synd: list = []   # unconverged syndrome rows (uint8)
+        res_logi: list = []   # their observable records
         for j in range(n_calls):
             key = jax.random.fold_in(jax.random.PRNGKey(300 + i), j)
             rec = np.asarray(
@@ -118,46 +136,49 @@ def main():
             syndrome = rec[:, :D].astype(np.uint8)
             logicals = rec[:, D:].astype(np.int64)
             # stage 1: plain flooding BP on every shot (device-resident)
-            f1, p1, c1, _it = bp_stage.decode_batch(syndrome)
+            f1, _p1, c1, _it = bp_stage.decode_batch(syndrome)
             flips = dev_flips(f1)          # (S, L)
             conv = np.array(c1)
             unconv += int((~conv).sum())
-            # stage 2: relay ensemble on the compacted unconverged shots
             uncv = np.nonzero(~conv)[0]
-            p_osd_src = None
-            if relay is not None and uncv.size:
-                sel = uncv[: args.relay_cap]
-                pad = np.resize(sel, args.relay_cap)  # fixed shape, 1 compile
-                f2, p2, c2, _l = relay.decode_batch(syndrome[pad])
-                k = sel.size
-                flips[sel] = dev_flips(f2)[:k]
-                conv[sel] = np.asarray(c2)[:k]
-                relay_n += k
-                p_osd_src = (sel, p2)  # device posterior rows for stage 3
-                uncv = np.nonzero(~conv)[0]
-            # stage 3: host OSD on whatever both BP stages left; posteriors
-            # gathered on device, only the selected rows transferred
-            if args.osd_cap > 0 and uncv.size:
-                sel = uncv[: args.osd_cap]
-                if p_osd_src is not None:
-                    r_sel, p2 = p_osd_src
-                    pos = {int(s): q for q, s in enumerate(r_sel)}
-                    rows = np.asarray([pos.get(int(s), -1) for s in sel])
-                    post_sel = np.where(
-                        (rows >= 0)[:, None],
-                        np.asarray(jnp.asarray(p2)[jnp.asarray(
-                            np.maximum(rows, 0))]),
-                        np.asarray(jnp.asarray(p1)[jnp.asarray(sel)]))
-                else:
-                    post_sel = np.asarray(jnp.asarray(p1)[jnp.asarray(sel)])
-                f3 = osd_decode_batch(Hf, syndrome[sel], post_sel, "osd0", 0)
-                flips[sel] = (f3.astype(np.int64)
-                              @ decoder._fault_map_T.astype(np.int64)) % 2
-                osd_n += sel.size
-                overflow += uncv.size - sel.size
-            corrected = (logicals + flips) % 2
+            if uncv.size:
+                res_synd.append(syndrome[uncv])
+                res_logi.append(logicals[uncv])
+            keep = conv
+            corrected = (logicals[keep] + flips[keep]) % 2
             fails += int(np.any(corrected != 0, axis=1).sum())
             shots += rec.shape[0]
+        # stages 2+3 on the compacted residue: relay ensemble per chunk,
+        # host OSD directly on the relay posterior of whatever relay left
+        if res_synd:
+            rs = np.concatenate(res_synd)
+            rl = np.concatenate(res_logi)
+            for lo in range(0, rs.shape[0], args.relay_cap):
+                sel = np.arange(lo, min(lo + args.relay_cap, rs.shape[0]))
+                flips = np.zeros((sel.size, rl.shape[1]), np.int64)
+                if relay is not None:
+                    pad = np.resize(sel, args.relay_cap)  # fixed shape
+                    f2, p2, c2, _l = relay.decode_batch(rs[pad])
+                    k = sel.size
+                    flips = dev_flips(f2)[:k]
+                    conv2 = np.asarray(c2)[:k]
+                    relay_n += k
+                    post = np.asarray(jnp.asarray(p2)[:k])
+                else:
+                    conv2 = np.zeros(sel.size, bool)
+                    post = np.tile(np.log(
+                        (1 - decoder._dsc.fault_priors)
+                        / decoder._dsc.fault_priors), (sel.size, 1))
+                uncv = np.nonzero(~conv2)[0]
+                if args.osd_cap > 0 and uncv.size:
+                    o = uncv[: args.osd_cap]
+                    f3 = osd_decode_batch(Hf, rs[sel[o]], post[o], "osd0", 0)
+                    flips[o] = (f3.astype(np.int64)
+                                @ decoder._fault_map_T.astype(np.int64)) % 2
+                    osd_n += o.size
+                    overflow += uncv.size - o.size
+                corrected = (rl[sel] + flips) % 2
+                fails += int(np.any(corrected != 0, axis=1).sum())
         dt = time.perf_counter() - t0
         low, high = wilson_interval(fails, shots)
         rec_out = {
