@@ -7,12 +7,23 @@ enumeration indices instead of detector ids,
 §2.5.1); ours is the FIXED mode (``decoders/dem.py`` + ``BPDetectorCorrect``)
 — but until round 5 it was validated only by unit tests.  This runs the
 full chain under circuit noise at campaign scale: device detector sampler
-(observables appended) -> BP on the DEM fault matrix -> observable
-correction via the fault map, and writes one JSONL record per p for
-overlay against the bposd spacetime curve
+(observables appended) -> stage-1 flooding BP on the DEM fault matrix,
+streamed over sampler batches -> the unconverged residue accumulates on
+the host and is redecoded once per point in compacted fixed-shape chunks
+(relay-BP ensemble, then host OSD on the relay posterior of whatever the
+ensemble leaves) -> observable correction via the fault map.  One JSONL
+record per p, for overlay against the bposd spacetime curve
 (``artifacts/ler_hgp225_bposd_circuit_v5e.jsonl``).
 
-  python scripts/validate_dem.py --samples 100000 --out artifacts/ler_hgp225_dem_circuit_v5e.jsonl
+DEM fault matrices are cascade-bound, not BP-bound: at p=1.2e-3 ~90% of
+shots fail stage-1 (column degeneracy + short cycles) and ~45% of all
+shots reach host OSD on the 864x36491 matrix, so per-point sample budgets
+(``--samples-list``) should shrink as p grows — the Wilson CI is carried
+by the failure count, which high-p points reach quickly.
+
+  python scripts/validate_dem.py \
+    --p-list 0.0012,... --samples-list 5120,... \
+    --out artifacts/ler_hgp225_dem_circuit_v5e.jsonl
 """
 import argparse
 import json
